@@ -1,0 +1,338 @@
+"""StyleGAN building blocks, TPU-native (NHWC, flax.linen, explicit PRNG).
+
+Each block reimplements the observable math of the corresponding reference
+component (cited per class, reference at /root/reference) with TPU-idiomatic
+layout and dtype handling:
+
+  * NHWC activations, HWIO conv kernels (XLA/TPU native; the reference is
+    NCHW/OIHW — the permutation lives only in compat/torch_ckpt.py).
+  * Equalized learning rate is a runtime multiply on the weight (kept at
+    runtime, not folded into init, for checkpoint parity — reference
+    gan.py:14, gan.py:27).
+  * Normalization statistics are always computed in float32 even under
+    bfloat16 compute, then cast back — standard TPU mixed-precision practice.
+  * ``dtype=None`` means "compute in the input's dtype"; params are stored in
+    ``param_dtype`` (float32 by default).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from byogan_tpu.core.resize import upsample2x_bilinear
+
+Dtype = Any
+
+
+def _maybe_cast(x: jax.Array, dtype: Optional[Dtype]) -> jax.Array:
+    return x if dtype is None else x.astype(dtype)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    """LeakyReLU(0.2) — the sole activation in the reference (gan.py:86 etc)."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class EqualizedDense(nn.Module):
+    """Equalized-LR linear layer (reference ``EqualizedLinear``, gan.py:7-17).
+
+    Weights init N(0,1), bias 0, runtime scale sqrt(2 / fan_in) with
+    fan_in = in_features (gan.py:13-14).  Weight stored (in, out) — the
+    natural layout for ``x @ w`` on the MXU; the torch (out, in) layout is
+    transposed at the compat boundary.
+    """
+
+    features: int
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        w = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        b = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+        scale = math.sqrt(2.0 / in_features)
+        x = _maybe_cast(x, self.dtype)
+        w = _maybe_cast(w * scale, x.dtype)
+        b = _maybe_cast(b, x.dtype)
+        return jnp.dot(x, w, preferred_element_type=x.dtype) + b
+
+
+class EqualizedConv(nn.Module):
+    """Equalized-LR conv (reference ``EqualizedConv2d``, gan.py:20-38).
+
+    fan_in = in_channels * kh * kw (gan.py:26-27); scale sqrt(2/fan_in) applied
+    at runtime.  NHWC / HWIO, 'SAME'-style explicit padding to match torch
+    ``padding=p``.
+    """
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 0
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "weight",
+            nn.initializers.normal(stddev=1.0),
+            (k, k, in_ch, self.features),
+            self.param_dtype,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        scale = math.sqrt(2.0 / (in_ch * k * k))
+        x = _maybe_cast(x, self.dtype)
+        w = _maybe_cast(w * scale, x.dtype)
+        b = _maybe_cast(b, x.dtype)
+        out = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+        return out + b
+
+
+class NoiseInjection(nn.Module):
+    """Per-channel learned noise scale (reference ``InjectSecondaryNoise``,
+    gan.py:41-52): zero-init (C,) weight times a single-channel noise map,
+    added to the conv output.  Noise is NHWC ``(N, H, W, 1)``.
+    """
+
+    channels: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, noise: jax.Array) -> jax.Array:
+        w = self.param(
+            "weight", nn.initializers.zeros_init(), (self.channels,), self.param_dtype
+        )
+        return x + w.astype(x.dtype) * noise.astype(x.dtype)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """InstanceNorm2d(eps, affine=False) over NHWC: per-(N,C) stats on (H,W).
+
+    Matches torch (reference gan.py:59): biased variance, eps inside the
+    sqrt.  Statistics in float32 regardless of compute dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=(1, 2), keepdims=True)
+    var = jnp.square(x32 - mean).mean(axis=(1, 2), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return out.astype(x.dtype)
+
+
+def _adain_bias_init(in_channel: int):
+    """Style-projection bias: gamma half 1, beta half 0 (gan.py:62-63)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == (2 * in_channel,)
+        return jnp.concatenate(
+            [jnp.ones((in_channel,), dtype), jnp.zeros((in_channel,), dtype)]
+        )
+
+    return init
+
+
+class AdaIN(nn.Module):
+    """Adaptive instance norm (reference ``AdaINBlock``, gan.py:55-71).
+
+    InstanceNorm(eps=1e-8) then per-channel affine from the style vector via
+    an equalized linear producing (gamma, beta) — gamma is the first half of
+    the projection (torch ``chunk(2, 1)``, gan.py:67).
+    """
+
+    channels: int
+    style_dim: int = 512
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
+        proj = EqualizedDense(
+            features=2 * self.channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            bias_init=_adain_bias_init(self.channels),
+            name="style",
+        )(style)
+        gamma = proj[:, : self.channels][:, None, None, :]
+        beta = proj[:, self.channels :][:, None, None, :]
+        return gamma * instance_norm(x) + beta
+
+
+class StyleConvBlock(nn.Module):
+    """One synthesis conv (reference ``StyleConvBlock``, gan.py:74-98).
+
+    Either the 4x4 learned constant (``is_initial``; gan.py:81 — input is
+    ignored, the constant broadcasts over batch, gan.py:91-92) or a 3x3
+    equalized conv; then noise-inject -> LeakyReLU(0.2) -> AdaIN.
+
+    The noise->lrelu->adain epilogue is the Pallas fusion target
+    (ops/pallas_adain.py); this module is the lax reference path that XLA
+    already fuses into the conv.
+    """
+
+    in_channels: int
+    out_channels: int
+    is_initial: bool = False
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
+    ) -> jax.Array:
+        batch = style.shape[0]
+        if self.is_initial:
+            const = self.param(
+                "const",
+                nn.initializers.normal(stddev=1.0),
+                (1, 4, 4, self.in_channels),
+                self.param_dtype,
+            )
+            out = jnp.broadcast_to(
+                _maybe_cast(const, self.dtype or style.dtype),
+                (batch, 4, 4, self.in_channels),
+            )
+        else:
+            out = EqualizedConv(
+                features=self.out_channels,
+                kernel_size=3,
+                padding=1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
+        out = NoiseInjection(
+            channels=self.out_channels, param_dtype=self.param_dtype, name="noise"
+        )(out, noise)
+        out = leaky_relu(out)
+        return AdaIN(
+            channels=self.out_channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="adain",
+        )(out, style)
+
+
+class StyleStage(nn.Module):
+    """One resolution stage (reference ``StyleGanBlock``, gan.py:101-127).
+
+    Optional 2x bilinear upsample then two StyleConvBlocks sharing the same
+    style vector *and the same noise map* (gan.py:125-127).
+    """
+
+    in_channels: int
+    out_channels: int
+    is_initial: bool = False
+    does_upsample: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
+    ) -> jax.Array:
+        if self.is_initial and self.does_upsample:
+            raise ValueError("initial stage cannot upsample")
+        if not self.is_initial and x is None:
+            raise ValueError("non-initial stage requires an input")
+        if self.does_upsample:
+            x = upsample2x_bilinear(x)
+        out = StyleConvBlock(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            is_initial=self.is_initial,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv1",
+        )(x, style, noise)
+        return StyleConvBlock(
+            in_channels=self.out_channels,
+            out_channels=self.out_channels,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv2",
+        )(out, style, noise)
+
+
+class MappingNetwork(nn.Module):
+    """z -> w mapping: 8 x (EqualizedDense + LeakyReLU(0.2)) (reference
+    ``MappingLayers``, gan.py:130-148).  Note: the reference applies NO
+    PixelNorm on z, deviating from the StyleGAN paper — replicated here.
+    """
+
+    channels: int = 512
+    depth: int = 8
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        out = _maybe_cast(z, self.dtype)
+        for i in range(self.depth):
+            out = EqualizedDense(
+                features=self.channels,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"dense{i}",
+            )(out)
+            out = leaky_relu(out)
+        return out
+
+
+class MinibatchStdDev(nn.Module):
+    """Minibatch standard-deviation channel (reference gan.py:268-298).
+
+    Replicates the reference's exact (quirky) math, which deviates from the
+    ProGAN paper in two load-bearing ways:
+      * means are taken over the FULL batch, not per group (gan.py:282);
+      * samples are grouped by a strided reshape: group g holds samples
+        ``g*(B/G) + m``, and the stat for column ``m`` is shared by all its
+        members (gan.py:280, 292-295).
+    If the batch is not divisible by ``group_size``, the effective group is
+    the whole batch.  (The reference permanently mutates ``self.group_size``
+    in that case, gan.py:277-278 — a statelessness divergence documented
+    here: with a fixed per-stage batch size the observable behavior is
+    identical.)  Statistics computed in float32.
+    """
+
+    group_size: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        g = self.group_size if b % self.group_size == 0 else b
+        m = b // g
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=0, keepdims=True)  # full-batch mean (1,H,W,C)
+        dev2 = jnp.square(x32 - mean).reshape(g, m, h, w, c)
+        var = dev2.mean(axis=0)  # (M,H,W,C): var across each strided column
+        std = jnp.sqrt(var + 1e-8)
+        stat = std.mean(axis=(1, 2, 3))  # (M,)
+        stat_map = jnp.broadcast_to(stat[None, :], (g, m)).reshape(b)
+        stat_map = jnp.broadcast_to(
+            stat_map[:, None, None, None], (b, h, w, 1)
+        ).astype(x.dtype)
+        return jnp.concatenate([x, stat_map], axis=-1)

@@ -1,0 +1,185 @@
+"""Golden-value parity tests against the PyTorch reference implementation.
+
+These tests import the reference (read-only at /root/reference) as an oracle,
+convert its randomly-initialized state dicts through compat/torch_ckpt.py,
+and compare forward passes element-wise.  This validates BOTH the converter
+and every block's math (equalized scaling, AdaIN, minibatch-stddev quirks,
+fade-in algebra, bilinear stencils) in one shot — SURVEY.md §4's
+"golden-value tests vs PyTorch".
+
+Skipped automatically when torch or the reference checkout is unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, requires_reference
+
+torch = pytest.importorskip("torch")
+
+if REFERENCE_DIR not in sys.path:
+    sys.path.insert(0, REFERENCE_DIR)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from byogan_tpu.compat.torch_ckpt import (  # noqa: E402
+    critic_params_from_torch,
+    critic_params_to_torch,
+    generator_params_from_torch,
+    generator_params_to_torch,
+)
+from byogan_tpu.core.resize import (  # noqa: E402
+    avg_pool2x,
+    resize_bilinear_torch,
+    upsample2x_bilinear,
+)
+from byogan_tpu.models import Critic, Generator  # noqa: E402
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def to_nhwc(x: "torch.Tensor") -> np.ndarray:
+    return x.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+
+def from_nhwc(x: np.ndarray) -> "torch.Tensor":
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    import gan  # the reference model file, imported as an oracle
+
+    torch.manual_seed(0)
+    gen = gan.Generator().eval()
+    critic = gan.Critic().eval()
+    return gan, gen, critic
+
+
+@requires_reference
+def test_upsample2x_matches_torch():
+    torch.manual_seed(1)
+    for shape in [(2, 3, 4, 4), (1, 5, 7, 9), (3, 2, 16, 16)]:
+        x = torch.randn(*shape)
+        want = torch.nn.functional.interpolate(x, scale_factor=2, mode="bilinear")
+        got = upsample2x_bilinear(jnp.asarray(to_nhwc(x)))
+        np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=1e-5, atol=1e-6)
+
+
+@requires_reference
+def test_resize_bilinear_matches_torch():
+    torch.manual_seed(2)
+    x = torch.randn(2, 3, 16, 16)
+    for out_size in [(16, 16), (8, 8), (32, 32), (11, 5)]:
+        want = torch.nn.functional.interpolate(x, size=out_size, mode="bilinear")
+        got = resize_bilinear_torch(jnp.asarray(to_nhwc(x)), *out_size)
+        np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=1e-5, atol=1e-5)
+
+
+@requires_reference
+def test_avg_pool2x_matches_torch():
+    torch.manual_seed(3)
+    x = torch.randn(2, 3, 8, 8)
+    want = torch.nn.functional.avg_pool2d(x, 2)
+    got = avg_pool2x(jnp.asarray(to_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=1e-6, atol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize("steps,alpha", [(1, None), (2, 0.3), (2, None), (3, 0.82)])
+def test_generator_forward_parity(ref_modules, steps, alpha):
+    gan, ref_gen, _ = ref_modules
+    batch = 2
+    torch.manual_seed(10 + steps)
+    z = torch.randn(batch, 512)
+    noise_t = [torch.randn(batch, 1, 4 * 2**i, 4 * 2**i) for i in range(steps)]
+
+    with torch.no_grad():
+        want = ref_gen.forward(z, noise=noise_t, steps=steps, alpha=alpha)
+
+    params = {"params": generator_params_from_torch(ref_gen.state_dict())}
+    gen = Generator()
+    noise_j = [jnp.asarray(to_nhwc(n)) for n in noise_t]
+    got = gen.apply(
+        params,
+        jnp.asarray(z.numpy()),
+        noise_j,
+        steps=steps,
+        alpha=None if alpha is None else jnp.float32(alpha),
+    )
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), **TOL)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "steps,alpha,batch", [(1, None, 4), (2, 0.4, 4), (3, None, 6), (2, 0.9, 3)]
+)
+def test_critic_forward_parity(ref_modules, steps, alpha, batch):
+    """Covers fade-in blend, avg-pool path, minibatch-stddev (batch 4 exercises
+    group_size=4; batches 3/6 exercise the non-divisible fallback and m>1)."""
+    gan, _, ref_critic = ref_modules
+    size = 4 * 2 ** (steps - 1)
+    torch.manual_seed(20 + steps + batch)
+    images = torch.randn(batch, 3, size, size)
+
+    with torch.no_grad():
+        want = ref_critic.forward(images, steps=steps, alpha=alpha)
+
+    params = {"params": critic_params_from_torch(ref_critic.state_dict())}
+    critic = Critic()
+    got = critic.apply(
+        params,
+        jnp.asarray(to_nhwc(images)),
+        steps=steps,
+        alpha=None if alpha is None else jnp.float32(alpha),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().cpu().numpy(), **TOL
+    )
+
+
+@requires_reference
+def test_converter_round_trip(ref_modules):
+    """ours -> torch -> ours is the identity (and keys match exactly)."""
+    _, ref_gen, ref_critic = ref_modules
+    gparams = generator_params_from_torch(ref_gen.state_dict())
+    gstate = generator_params_to_torch(gparams, data_parallel_prefix=False)
+    want_keys = set(ref_gen.state_dict().keys())
+    assert set(gstate.keys()) == want_keys
+    gparams2 = generator_params_from_torch(gstate)
+    leaves1, treedef1 = jax.tree_util.tree_flatten(gparams)
+    leaves2, treedef2 = jax.tree_util.tree_flatten(gparams2)
+    assert treedef1 == treedef2
+    for v1, v2 in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    cparams = critic_params_from_torch(ref_critic.state_dict())
+    cstate = critic_params_to_torch(cparams, data_parallel_prefix=False)
+    assert set(cstate.keys()) == set(ref_critic.state_dict().keys())
+
+
+@requires_reference
+def test_converted_tree_matches_init_structure(ref_modules):
+    """Converted torch params have exactly our init's tree structure/shapes."""
+    _, ref_gen, ref_critic = ref_modules
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, 512))
+    noise = [jnp.zeros((1, 4, 4, 1))]
+    gen_shapes = jax.eval_shape(
+        lambda: Generator().init(key, z, noise, steps=1)
+    )["params"]
+    converted = generator_params_from_torch(ref_gen.state_dict())
+    want = jax.tree.map(lambda s: (s.shape), gen_shapes)
+    got = jax.tree.map(lambda a: a.shape, converted)
+    assert want == got
+
+    crit_shapes = jax.eval_shape(
+        lambda: Critic().init(key, jnp.zeros((4, 4, 4, 3)), steps=1)
+    )["params"]
+    cconverted = critic_params_from_torch(ref_critic.state_dict())
+    assert jax.tree.map(lambda s: s.shape, crit_shapes) == jax.tree.map(
+        lambda a: a.shape, cconverted
+    )
