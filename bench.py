@@ -1,0 +1,93 @@
+"""Headline benchmark: training images/sec/chip at 128x128 (BASELINE.md).
+
+Runs the full fused train step (critic R1 double-backward + generator
+update, on-device latent/noise sampling) on the real TPU chip at stage 6
+(128x128), bfloat16 compute, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` divides by the reference's own measured training throughput
+(BASELINE_REF.json — the reference repo publishes no numbers and this
+container has no GPU, so the denominator is the reference's PyTorch path on
+the host CPU; see that file for methodology).
+
+Env knobs: BENCH_BATCH (default 64), BENCH_STEPS (timed iters, default 10),
+BENCH_STAGE (default 6 = 128px), BENCH_DTYPE (default bfloat16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from byogan_tpu.models import Critic, Generator
+    from byogan_tpu.train.config import TrainConfig
+    from byogan_tpu.train.state import create_train_state
+    from byogan_tpu.train.steps import make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    timed_iters = int(os.environ.get("BENCH_STEPS", 20))
+    stage = int(os.environ.get("BENCH_STAGE", 6))  # 6 -> 128x128
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    size = 4 * 2 ** (stage - 1)
+
+    config = TrainConfig(compute_dtype=dtype)
+    model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
+    gen = Generator(dtype=model_dtype)
+    critic = Critic(dtype=model_dtype)
+    state = create_train_state(config, gen, critic)
+
+    step_fn = make_train_step(
+        gen, critic, config,
+        steps=stage, batch=batch, fade_in=100.0,
+        critic_fade=(False,), gen_fade=False,  # post-fade regime dominates
+        donate=True,
+    )
+    real = jax.random.normal(
+        jax.random.PRNGKey(0), (batch, size, size, 3), jnp.float32
+    )
+
+    # Warmup / compile.  NOTE: timing forces a scalar readback at the end of
+    # the chained iteration sequence — on the tunneled TPU backend,
+    # block_until_ready alone does not reliably wait for remote execution.
+    state, metrics = step_fn(state, real)
+    float(metrics["c_loss"])
+    state, metrics = step_fn(state, real)
+    float(metrics["c_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(timed_iters):
+        state, metrics = step_fn(state, real)
+    _ = float(metrics["c_loss"]) + float(metrics["g_loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = timed_iters * batch / dt
+
+    baseline = None
+    ref_path = os.path.join(os.path.dirname(__file__), "BASELINE_REF.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            baseline = json.load(f).get("torch_ref_images_per_sec_128px_cpu")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train_images_per_sec_per_chip_{size}px",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": (
+                    round(images_per_sec / baseline, 1) if baseline else None
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Sample-generation CLI (reference generate_samples.py).
+
+Loads a checkpoint (ours or a reference ``.pth``) and writes N sample PNGs
+``image_{i}.png`` at the checkpoint's saved step/alpha from fresh truncated
+noise (generate_samples.py:54-59).  Flag surface is the reference's
+*documented* one — ``-d/--device -o/--output -z/--z-size -t/--truncation`` —
+fixing its argparse quirk where adjacent string literals fused the spellings
+into ``-d--device`` etc. (generate_samples.py:15/30/37; SURVEY.md §2.4), and
+its hardcoded-CUDA noise helper that broke ``-d cpu`` (helper.py:42).
+Output parity: images are saved RAW (network range ~[-1,1]) with
+save_image's [0,255] clamp — negative values saturate to black, matching the
+reference's observable PNGs (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from byogan_tpu.core.grids import save_image
+from byogan_tpu.core.random import synthesis_noise, truncated_noise
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Generate samples")
+    parser.add_argument("model", help="path to saved model", type=str)
+    parser.add_argument("images", help="number of images to produce", type=int)
+    parser.add_argument(
+        "-d", "--device",
+        dest="device", default=None, type=str,
+        help="jax platform to run on (cpu/tpu; default: jax's default)",
+    )
+    parser.add_argument(
+        "-o", "--output",
+        dest="output_dir", default=".", type=str, help="output directory",
+    )
+    parser.add_argument(
+        "-z", "--z-size", dest="z_size", default=512, type=int, help="noise size"
+    )
+    parser.add_argument(
+        "-t", "--truncation",
+        dest="trunc", default=0.75, type=float, help="truncation boundary",
+    )
+    parser.add_argument(
+        "--seed", default=None, type=int, help="PRNG seed (default: random)"
+    )
+    parser.add_argument(
+        "--batch", default=None, type=int,
+        help="generate in batches of this size (default: all at once)",
+    )
+    args = parser.parse_args(argv)
+
+    if args.output_dir is not None and not os.path.exists(args.output_dir):
+        raise OSError("path does not exist!")
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from byogan_tpu.models.factory import ModelSpec, build_generator
+    from byogan_tpu.train.checkpoint import load_checkpoint
+
+    save = load_checkpoint(args.model)
+    steps, alpha = save["step"], save["alpha"]
+
+    # Rebuild the architecture the checkpoint was trained with (reference
+    # .pth files carry no spec -> reference-default architecture).
+    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    params = {"params": save["gen_params"]}
+    seed = int.from_bytes(os.urandom(4), "little") if args.seed is None else args.seed
+    key = jax.random.PRNGKey(seed)
+
+    # TPU-native: one jitted batched synthesis instead of the reference's
+    # N single-image forwards (generate_samples.py:54-59).
+    batch = args.batch or args.images
+
+    @jax.jit
+    def synthesize(z, noise_key):
+        noise = synthesis_noise(noise_key, z.shape[0], steps)
+        return gen.apply(
+            params,
+            z,
+            noise,
+            steps=steps,
+            alpha=None if alpha is None else jnp.float32(alpha),
+        )
+
+    written = 0
+    while written < args.images:
+        n = min(batch, args.images - written)
+        key, z_key, n_key = jax.random.split(key, 3)
+        z = truncated_noise(z_key, n, args.z_size, args.trunc)
+        if n != batch:  # pad to the compiled batch size
+            z = jnp.pad(z, ((0, batch - n), (0, 0)))
+        imgs = np.asarray(synthesize(z, n_key))[:n]
+        for i in range(n):
+            save_image(
+                imgs[i],
+                os.path.join(args.output_dir, f"image_{written + i + 1}.png"),
+            )
+        written += n
+    print(f"wrote {written} images to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

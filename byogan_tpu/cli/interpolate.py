@@ -1,0 +1,91 @@
+"""Latent-walk frame dump (reference interpolate.py).
+
+The reference is hardcoded — checkpoint ``./chk-116000.pth``, 60 z's at
+truncation 0.7, one FIXED per-resolution noise pyramid shared by all frames,
+61 lerp steps per adjacent pair, frames to ``./output/image_{e}.png``
+(interpolate.py:14-41).  This CLI keeps every one of those defaults but adds
+argparse (SURVEY.md §7 step 6) and batches each pair's 61 frames into ONE
+jitted device call instead of 61 single-image forwards.
+
+Semantics preserved: z-space (not w-space) lerp; constant noise across
+frames (interpolate.py:30-41).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Latent interpolation frames")
+    parser.add_argument(
+        "checkpoint", nargs="?", default="./chk-116000.pth",
+        help="checkpoint (ours or reference .pth); default matches the "
+        "reference's hardcoded path",
+    )
+    parser.add_argument("-o", "--output", default="./output")
+    parser.add_argument("-n", "--num-latents", type=int, default=60)
+    parser.add_argument("-t", "--truncation", type=float, default=0.7)
+    parser.add_argument(
+        "-p", "--psi-steps", type=int, default=61,
+        help="frames per latent pair (inclusive endpoints)",
+    )
+    parser.add_argument("-z", "--z-size", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-d", "--device", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from byogan_tpu.core.grids import save_image
+    from byogan_tpu.core.random import fixed_synthesis_noise, truncated_noise
+    from byogan_tpu.models.factory import ModelSpec, build_generator
+    from byogan_tpu.train.checkpoint import load_checkpoint
+
+    os.makedirs(args.output, exist_ok=True)
+    save = load_checkpoint(args.checkpoint)
+    steps, alpha = save["step"], save["alpha"]
+
+    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    params = {"params": save["gen_params"]}
+
+    key = jax.random.PRNGKey(args.seed)
+    key, z_key, n_key = jax.random.split(key, 3)
+    z = truncated_noise(z_key, args.num_latents, args.z_size, args.truncation)
+    # Batch-1 fixed noise pyramid shared by every frame (interpolate.py:23-26),
+    # broadcast over the frame batch.
+    fixed_noise = fixed_synthesis_noise(n_key, steps=gen.num_stages)
+    psi = jnp.linspace(0.0, 1.0, args.psi_steps)[:, None]
+
+    @jax.jit
+    def render_pair(z_start, z_end):
+        frames_z = z_start[None, :] * (1 - psi) + z_end[None, :] * psi
+        noise = [
+            jnp.broadcast_to(n, (args.psi_steps,) + n.shape[1:])
+            for n in fixed_noise[:steps]
+        ]
+        return gen.apply(
+            params,
+            frames_z,
+            noise,
+            steps=steps,
+            alpha=None if alpha is None else jnp.float32(alpha),
+        )
+
+    e = 0
+    for i in range(args.num_latents - 1):
+        frames = np.asarray(render_pair(z[i], z[i + 1]))
+        for f in frames:
+            save_image(f, os.path.join(args.output, f"image_{e + 1}.png"))
+            e += 1
+    print(f"wrote {e} frames to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Per-stage training data pipeline (reference train.py:43-55, 109-117).
+
+The reference builds a fresh torchvision ImageFolder + DataLoader per
+progressive stage with RandomHorizontalFlip -> ToTensor -> Normalize to
+[-1,1] (train.py:43-50).  TPU-native redesign:
+
+  * decoded images are cached in RAM when the stage fits a byte budget
+    (low-resolution stages — the bulk of training — then pay ZERO decode
+    cost per epoch; the reference re-decodes PNGs every epoch);
+  * batches are materialized as NHWC float32 in [-1,1] by a background
+    prefetch thread so host IO overlaps device compute;
+  * static batch shapes: the trailing partial batch is dropped
+    (drop_remainder) by default — the reference trains on ragged final
+    batches (train.py:133), which on TPU would force one extra XLA compile
+    per stage for a sliver of data; documented divergence, configurable.
+  * augmentation (horizontal flip, train.py:46) uses a seeded numpy
+    Generator — deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from byogan_tpu.data.prep import _is_image
+
+
+class StageDataset:
+    """Images of one progressive stage (``<root>/prepared/set_{k}``).
+
+    Files are discovered recursively (torchvision ImageFolder layout —
+    class subdirectories — as produced by prep, reference prep.py:53).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        stage: int,
+        cache_limit_bytes: int = 1 << 30,
+    ):
+        self.set_dir = os.path.join(root, "prepared", f"set_{stage}")
+        if not os.path.isdir(self.set_dir):
+            raise OSError(
+                f"Did not detect prepared dataset! (missing {self.set_dir})"
+            )
+        self.files: List[str] = []
+        for dirpath, _, names in sorted(os.walk(self.set_dir)):
+            for name in sorted(names):
+                if _is_image(name):
+                    self.files.append(os.path.join(dirpath, name))
+        if not self.files:
+            raise OSError(f"no images under {self.set_dir}")
+        self._cache: Optional[np.ndarray] = None
+        self._cache_limit = cache_limit_bytes
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _decode(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def maybe_cache(self, workers: int = 8) -> bool:
+        """Decode everything into one uint8 NHWC array if under budget."""
+        if self._cache is not None:
+            return True
+        probe = self._decode(self.files[0])
+        total = probe.nbytes * len(self.files)
+        if total > self._cache_limit:
+            return False
+        cache = np.empty((len(self.files),) + probe.shape, np.uint8)
+        cache[0] = probe
+
+        def fill(i):
+            cache[i] = self._decode(self.files[i])
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(fill, range(1, len(self.files))))
+        self._cache = cache
+        return True
+
+    def get_batch_uint8(self, indices: np.ndarray, workers: int = 8) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache[indices]
+        out = None
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for j, img in enumerate(
+                pool.map(lambda i: self._decode(self.files[i]), indices)
+            ):
+                if out is None:
+                    out = np.empty((len(indices),) + img.shape, np.uint8)
+                out[j] = img
+        return out
+
+
+def _normalize(batch_u8: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:
+    """uint8 NHWC -> float32 in [-1,1] with per-sample horizontal flip."""
+    batch = batch_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    if flip_mask.any():
+        batch[flip_mask] = batch[flip_mask, :, ::-1]
+    return batch
+
+
+def make_stage_loader(
+    dataset: StageDataset,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    flip: bool = True,
+    drop_remainder: bool = True,
+    workers: int = 8,
+    prefetch: int = 2,
+    epochs: Optional[int] = 1,
+    cache: bool = True,
+) -> Iterator[np.ndarray]:
+    """Yield NHWC float32 batches in [-1,1], prefetched on a worker thread.
+
+    ``epochs=None`` streams forever.  One epoch = one shuffled pass
+    (train.py:112-117 semantics, minus the ragged tail under
+    drop_remainder).
+    """
+    if cache:
+        dataset.maybe_cache(workers=workers)
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def producer():
+        epoch = 0
+        try:
+            while not stop.is_set() and (epochs is None or epoch < epochs):
+                order = rng.permutation(n) if shuffle else np.arange(n)
+                limit = n - (n % batch_size) if drop_remainder else n
+                for lo in range(0, limit, batch_size):
+                    if stop.is_set():
+                        return
+                    idx = order[lo : lo + batch_size]
+                    batch_u8 = dataset.get_batch_uint8(idx, workers=workers)
+                    flips = (
+                        rng.random(len(idx)) < 0.5
+                        if flip
+                        else np.zeros(len(idx), bool)
+                    )
+                    q.put(_normalize(batch_u8, flips))
+                epoch += 1
+        finally:
+            q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer can exit
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5)
+
+
+def batches_per_epoch(
+    dataset_len: int, batch_size: int, drop_remainder: bool = True
+) -> int:
+    """len(DataLoader) analogue (train.py:119 uses it for the fade-in span)."""
+    if drop_remainder:
+        return dataset_len // batch_size
+    return -(-dataset_len // batch_size)

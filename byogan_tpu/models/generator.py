@@ -53,6 +53,7 @@ class Generator(nn.Module):
     mapping_depth: int = 8
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.mapping = MappingNetwork(
@@ -69,6 +70,7 @@ class Generator(nn.Module):
                 does_upsample=(i > 0),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                use_pallas=self.use_pallas,
             )
             for i, (ic, oc) in enumerate(self.channels)
         ]

@@ -120,12 +120,13 @@ class NoiseInjection(nn.Module):
     channels: int
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, noise: jax.Array) -> jax.Array:
-        w = self.param(
+    def setup(self):
+        self.weight = self.param(
             "weight", nn.initializers.zeros_init(), (self.channels,), self.param_dtype
         )
-        return x + w.astype(x.dtype) * noise.astype(x.dtype)
+
+    def __call__(self, x: jax.Array, noise: jax.Array) -> jax.Array:
+        return x + self.weight.astype(x.dtype) * noise.astype(x.dtype)
 
 
 def instance_norm(x: jax.Array, eps: float = 1e-8) -> jax.Array:
@@ -167,18 +168,24 @@ class AdaIN(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
-        proj = EqualizedDense(
+    def setup(self):
+        self.style = EqualizedDense(
             features=2 * self.channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bias_init=_adain_bias_init(self.channels),
-            name="style",
-        )(style)
-        gamma = proj[:, : self.channels][:, None, None, :]
-        beta = proj[:, self.channels :][:, None, None, :]
-        return gamma * instance_norm(x) + beta
+        )
+
+    def project(self, style: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Style vector -> per-channel (gamma, beta), each (N, C)."""
+        proj = self.style(style)
+        return proj[:, : self.channels], proj[:, self.channels :]
+
+    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
+        gamma, beta = self.project(style)
+        return (
+            gamma[:, None, None, :] * instance_norm(x) + beta[:, None, None, :]
+        )
 
 
 class StyleConvBlock(nn.Module):
@@ -198,42 +205,55 @@ class StyleConvBlock(nn.Module):
     is_initial: bool = False
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
-    def __call__(
-        self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
-    ) -> jax.Array:
-        batch = style.shape[0]
+    def setup(self):
         if self.is_initial:
-            const = self.param(
+            self.const = self.param(
                 "const",
                 nn.initializers.normal(stddev=1.0),
                 (1, 4, 4, self.in_channels),
                 self.param_dtype,
             )
-            out = jnp.broadcast_to(
-                _maybe_cast(const, self.dtype or style.dtype),
-                (batch, 4, 4, self.in_channels),
-            )
         else:
-            out = EqualizedConv(
+            self.conv = EqualizedConv(
                 features=self.out_channels,
                 kernel_size=3,
                 padding=1,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
-                name="conv",
-            )(x)
-        out = NoiseInjection(
-            channels=self.out_channels, param_dtype=self.param_dtype, name="noise"
-        )(out, noise)
-        out = leaky_relu(out)
-        return AdaIN(
+            )
+        self.noise = NoiseInjection(
+            channels=self.out_channels, param_dtype=self.param_dtype
+        )
+        self.adain = AdaIN(
             channels=self.out_channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            name="adain",
-        )(out, style)
+        )
+
+    def __call__(
+        self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
+    ) -> jax.Array:
+        from byogan_tpu.ops.fused import noise_lrelu_adain
+
+        batch = style.shape[0]
+        if self.is_initial:
+            out = jnp.broadcast_to(
+                _maybe_cast(self.const, self.dtype or style.dtype),
+                (batch, 4, 4, self.in_channels),
+            )
+        else:
+            out = self.conv(x)
+        gamma, beta = self.adain.project(style)
+        return noise_lrelu_adain(
+            out,
+            noise.astype(out.dtype),
+            self.noise.weight,
+            gamma,
+            beta,
+            use_pallas=self.use_pallas,
+        )
 
 
 class StyleStage(nn.Module):
@@ -249,6 +269,7 @@ class StyleStage(nn.Module):
     does_upsample: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -266,6 +287,7 @@ class StyleStage(nn.Module):
             is_initial=self.is_initial,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
             name="conv1",
         )(x, style, noise)
         return StyleConvBlock(
@@ -273,6 +295,7 @@ class StyleStage(nn.Module):
             out_channels=self.out_channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas,
             name="conv2",
         )(out, style, noise)
 

@@ -1,0 +1,74 @@
+"""Fused synthesis epilogue: noise-inject -> LeakyReLU -> AdaIN.
+
+This is the per-conv epilogue of every generator stage (reference
+gan.py:89-98: inject_noise -> LeakyReLU(0.2) -> AdaIN) — the hottest
+elementwise+reduction chain in the model.  Two implementations:
+
+  * ``noise_lrelu_adain_lax`` — pure lax; XLA fuses it into the producing
+    conv.  Always available, used for gradients (the Pallas forward pairs
+    with this backward via jax.custom_vjp is future work; currently the
+    Pallas path is inference/bench only).
+  * ``noise_lrelu_adain_pallas`` — single-pass Pallas TPU kernel: one HBM
+    read of the conv output, statistics in VMEM, one HBM write.  Requires
+    the (H*W, C) slab of one sample to fit VMEM; the dispatcher falls back
+    to lax above that.
+
+Dispatch via ``noise_lrelu_adain(..., use_pallas=...)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def noise_lrelu_adain_lax(
+    x: jax.Array,
+    noise: jax.Array,
+    noise_w: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """Reference-exact epilogue.  x: (N,H,W,C); noise: (N,H,W,1);
+    noise_w: (C,); gamma/beta: (N,C)."""
+    h = x + noise_w.astype(x.dtype) * noise.astype(x.dtype)
+    h = leaky_relu(h)
+    h32 = h.astype(jnp.float32)
+    mean = h32.mean(axis=(1, 2), keepdims=True)
+    var = jnp.square(h32 - mean).mean(axis=(1, 2), keepdims=True)
+    norm = ((h32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return gamma[:, None, None, :].astype(x.dtype) * norm + beta[
+        :, None, None, :
+    ].astype(x.dtype)
+
+
+# VMEM budget for the single-sample slab in the Pallas kernel (bytes).
+_PALLAS_VMEM_SLAB_LIMIT = 8 * 1024 * 1024
+
+
+def pallas_supported(shape, dtype) -> bool:
+    n, h, w, c = shape
+    itemsize = jnp.dtype(dtype).itemsize
+    # input + f32 intermediate comfortably in ~16MB VMEM
+    return (h * w * c) * (itemsize + 4) <= _PALLAS_VMEM_SLAB_LIMIT
+
+
+def noise_lrelu_adain(
+    x: jax.Array,
+    noise: jax.Array,
+    noise_w: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-8,
+    use_pallas: bool = False,
+) -> jax.Array:
+    if use_pallas and pallas_supported(x.shape, x.dtype):
+        from byogan_tpu.ops.pallas_adain import noise_lrelu_adain_pallas
+
+        return noise_lrelu_adain_pallas(x, noise, noise_w, gamma, beta, eps)
+    return noise_lrelu_adain_lax(x, noise, noise_w, gamma, beta, eps)

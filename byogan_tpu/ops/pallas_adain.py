@@ -1,0 +1,79 @@
+"""Pallas TPU kernel: fused noise-inject + LeakyReLU + instance-norm affine.
+
+One grid program per batch sample.  The sample's (H*W, C) slab is staged in
+VMEM once; the VPU does noise-add + LeakyReLU, computes the per-channel
+mean/variance over the spatial axis in float32, and applies
+``gamma * (h - mu) * rsqrt(var + eps) + beta`` — a single HBM read and a
+single HBM write instead of the read-reduce-read-write pattern a
+non-fused lowering would take (BASELINE.json north-star kernel).
+
+Gradients: forward-only — the training path uses the lax epilogue (see
+ops/fused.py); this kernel serves inference/serving and as the template for
+the custom-VJP training kernel (future round).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, noise_ref, w_ref, gamma_ref, beta_ref, out_ref, *, eps):
+    # Block shapes: x (1, HW, C), noise (1, HW, 1), w (1, C), gamma/beta (1, C)
+    x = x_ref[0]  # (HW, C)
+    noise = noise_ref[0]  # (HW, 1)
+    w = w_ref[0]  # (C,)
+    h = x + w[None, :].astype(x.dtype) * noise.astype(x.dtype)
+    h = jnp.where(h >= 0, h, 0.2 * h)
+    h32 = h.astype(jnp.float32)
+    hw = h32.shape[0]
+    mean = jnp.sum(h32, axis=0, keepdims=True) / hw  # (1, C)
+    centered = h32 - mean
+    var = jnp.sum(centered * centered, axis=0, keepdims=True) / hw
+    norm = centered * jax.lax.rsqrt(var + eps)
+    gamma = gamma_ref[0].astype(jnp.float32)[None, :]
+    beta = beta_ref[0].astype(jnp.float32)[None, :]
+    out_ref[0] = (gamma * norm + beta).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def noise_lrelu_adain_pallas(
+    x: jax.Array,
+    noise: jax.Array,
+    noise_w: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """x: (N,H,W,C); noise: (N,H,W,1); noise_w: (C,); gamma/beta: (N,C)."""
+    n, h, w, c = x.shape
+    hw = h * w
+    x2 = x.reshape(n, hw, c)
+    noise2 = noise.reshape(n, hw, 1)
+    w2 = noise_w.reshape(1, c)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=9 * n * hw * c,
+            bytes_accessed=2 * n * hw * c * x.dtype.itemsize,
+            transcendentals=n * c,  # rsqrt
+        ),
+    )(x2, noise2, w2, gamma, beta)
+    return out.reshape(n, h, w, c)

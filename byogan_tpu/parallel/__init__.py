@@ -1,0 +1,6 @@
+from byogan_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    shard_train_state,
+    sharding_for_leaf,
+)

@@ -1,0 +1,214 @@
+"""Atomic checkpoint save/restore with reference-compatible logical fields.
+
+The reference saves ``{gen, critic, iter, im_count, step, epoch, alpha}``
+(train.py:248-259) and loses optimizer state, RNG state, and intra-stage
+alpha on resume (train.py:90-108 — SURVEY.md §5 lists these as gaps to fix,
+not replicate).  Our native format is an orbax directory per checkpoint
+carrying the FULL TrainState (params, optimizer states, PRNG key, counters)
+so resume is exact; the reference's logical fields are stored alongside in
+``meta`` for CLI parity (generate_samples.py:50-57 reads ``step``/``alpha``).
+
+Interop:
+  * ``load_checkpoint`` accepts either our orbax directory or a reference
+    ``.pth`` (sniffed by extension/type), so users can resume from torch
+    checkpoints directly.
+  * ``export_torch_checkpoint`` writes a real ``.pth`` the reference CLIs can
+    load (module.-prefixed DataParallel keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from byogan_tpu.train.state import TrainState
+
+_META_NAME = "byogan_meta.json"
+_ORBAX_CKPT = None
+
+
+def _checkpointer():
+    global _ORBAX_CKPT
+    if _ORBAX_CKPT is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPT = ocp.PyTreeCheckpointer()
+    return _ORBAX_CKPT
+
+
+def checkpoint_name(iters: int) -> str:
+    """Reference naming: ``chk-{iters}`` (train.py:258)."""
+    return f"chk-{iters}"
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    alpha: Optional[float],
+    name: Optional[str] = None,
+    model_spec=None,
+) -> str:
+    """Atomically save the full TrainState + reference-compatible meta.
+
+    ``alpha`` is the reference's saved fade value (None once past fade —
+    train.py:256, train.py:271 saves None at FINAL).
+    """
+    os.makedirs(directory, exist_ok=True)
+    name = name or checkpoint_name(int(state.iters))
+    path = os.path.abspath(os.path.join(directory, name))
+    tree = {
+        "gen_params": state.gen_params,
+        "critic_params": state.critic_params,
+        "gen_opt_state": state.gen_opt_state,
+        "critic_opt_state": state.critic_opt_state,
+        "rng": state.rng,
+        "iters": state.iters,
+        "im_count": state.im_count,
+    }
+    _checkpointer().save(path, tree, force=True)  # orbax write is atomic
+    meta = {
+        "iter": int(state.iters),
+        "im_count": int(state.im_count),
+        "step": int(state.stage),
+        "epoch": int(state.epoch),
+        "alpha": None if alpha is None else float(alpha),
+        "format": "byogan_tpu.v1",
+        "model": model_spec.to_dict() if model_spec is not None else None,
+    }
+    meta_path = os.path.join(path, _META_NAME)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Newest ``chk-*`` dir by iteration number (auto-resume support)."""
+    if not os.path.isdir(directory):
+        return None
+    best, best_iter = None, -1
+    for entry in os.listdir(directory):
+        m = re.fullmatch(r"chk-(\d+)", entry)
+        full = os.path.join(directory, entry)
+        if m and os.path.isdir(full) and int(m.group(1)) > best_iter:
+            best, best_iter = full, int(m.group(1))
+    return best
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    return os.path.isfile(path)  # .pth files; ours are directories
+
+
+def load_checkpoint(
+    path: str, template_state: Optional[TrainState] = None
+) -> Dict[str, Any]:
+    """Load ours (orbax dir) or a reference ``.pth`` (file).
+
+    Returns dict: gen_params, critic_params, iter, im_count, step, epoch,
+    alpha, plus (native format only) gen_opt_state / critic_opt_state / rng.
+    """
+    if _is_torch_checkpoint(path):
+        from byogan_tpu.compat.torch_ckpt import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+
+    template = None
+    if template_state is not None:
+        template = {
+            "gen_params": template_state.gen_params,
+            "critic_params": template_state.critic_params,
+            "gen_opt_state": template_state.gen_opt_state,
+            "critic_opt_state": template_state.critic_opt_state,
+            "rng": template_state.rng,
+            "iters": template_state.iters,
+            "im_count": template_state.im_count,
+        }
+    tree = _checkpointer().restore(os.path.abspath(path), item=template)
+    with open(os.path.join(path, _META_NAME)) as f:
+        meta = json.load(f)
+    return {
+        "gen_params": tree["gen_params"],
+        "critic_params": tree["critic_params"],
+        "gen_opt_state": tree.get("gen_opt_state"),
+        "critic_opt_state": tree.get("critic_opt_state"),
+        "rng": tree.get("rng"),
+        "iter": meta["iter"],
+        "im_count": meta["im_count"],
+        "step": meta["step"],
+        "epoch": meta["epoch"],
+        "alpha": meta["alpha"],
+        "model": meta.get("model"),
+    }
+
+
+def restore_train_state(
+    path: str, template_state: TrainState
+) -> tuple[TrainState, Optional[float]]:
+    """Exact resume: full state for ours; params-only (fresh opt) for .pth —
+    mirroring what the reference CAN restore (train.py:90-100) while our
+    native format restores everything."""
+    import jax.numpy as jnp
+
+    loaded = load_checkpoint(path, template_state)
+    state = template_state.replace(
+        gen_params=loaded["gen_params"],
+        critic_params=loaded["critic_params"],
+        iters=jnp.int32(loaded["iter"]),
+        im_count=jnp.int32(loaded["im_count"]),
+        stage=loaded["step"],
+        epoch=loaded["epoch"],
+    )
+    if loaded.get("gen_opt_state") is not None:
+        state = state.replace(
+            gen_opt_state=loaded["gen_opt_state"],
+            critic_opt_state=loaded["critic_opt_state"],
+            rng=loaded["rng"],
+        )
+    return state, loaded["alpha"]
+
+
+def export_torch_checkpoint(
+    path: str, state: TrainState, alpha: Optional[float]
+) -> None:
+    """Write a reference-loadable ``.pth`` (torch at the compat boundary only).
+
+    Keys/layout match train.py:248-259 with DataParallel ``module.``
+    prefixes so generate_samples.py:48-52 can consume it directly.
+    """
+    import torch
+
+    from byogan_tpu.compat.torch_ckpt import (
+        critic_params_to_torch,
+        generator_params_to_torch,
+    )
+
+    gen_sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in generator_params_to_torch(
+            jax.tree.map(np.asarray, state.gen_params)
+        ).items()
+    }
+    critic_sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in critic_params_to_torch(
+            jax.tree.map(np.asarray, state.critic_params)
+        ).items()
+    }
+    torch.save(
+        {
+            "gen": gen_sd,
+            "critic": critic_sd,
+            "iter": int(state.iters),
+            "im_count": int(state.im_count),
+            "step": int(state.stage),
+            "epoch": int(state.epoch),
+            "alpha": None if alpha is None else float(alpha),
+        },
+        path,
+    )

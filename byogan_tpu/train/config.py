@@ -1,0 +1,122 @@
+"""Typed training config + reference-compatible INI loading.
+
+The reference's user-facing surface is ``config.txt`` parsed with stdlib
+configparser (reference main.py:21-24) with ``[DEFAULT]`` inheritance and
+per-dataset sections, values parsed at train.py:18-41.  We keep the same file
+format and keys as the compatibility boundary and parse into a typed
+dataclass, preserving the reference's parse quirks:
+
+  * ``use_r1`` is true iff the string equals exactly ``"True"``
+    (train.py:25);
+  * ``gradient_lambda`` is parsed with int() (train.py:18);
+  * ``lr`` defaults to 0.001 in code even though config.txt ships 0.002
+    (train.py:23 vs config.txt:13);
+  * ``final_image_size`` is read by nobody — the resolution ceiling is
+    ``len(epoch_progression)`` (SURVEY.md §2.7) — we accept and ignore it.
+
+TPU-native extras (seed, dtype, mesh axes, output dirs) get their own keys
+with defaults, so reference config files work unmodified.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from typing import List, Mapping, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # --- reference-compatible knobs (train.py:18-41) ---
+    data: Optional[str] = None
+    device: str = "tpu"  # reference key `device` (config.txt:10); "cpu" forces
+    # the CPU backend, anything else uses jax's default platform
+    c_lambda: float = 10.0
+    noise_size: int = 512
+    beta_1: float = 0.0
+    beta_2: float = 0.99
+    learning_rate: float = 0.001
+    critic_repeats: int = 1
+    use_r1: bool = True
+    num_workers: int = 2
+    display_step: int = 250
+    checkpoint_step: int = 2000
+    refresh_stat_step: int = 5
+    batch_progression: Tuple[int, ...] = (24, 16, 16, 16, 12, 10, 5, 5)
+    epoch_progression: Tuple[int, ...] = (10, 20, 20, 30, 30, 20, 20, 15)
+    fade_percentage: float = 0.5
+    # --- TPU-native knobs ---
+    channel_divisor: int = 1  # scale down all channel widths (1 = reference)
+    mapping_depth: int = 8
+    seed: int = 0
+    compute_dtype: str = "bfloat16"  # "float32" for bit-parity runs
+    data_axis: int = 1  # data-parallel mesh size (1 = single chip)
+    model_axis: int = 1  # tensor-parallel mesh size
+    checkpoint_dir: str = "./checkpoints"
+    output_dir: str = "./output"
+    mapping_lr_mult: float = 0.01  # StyleGAN mapping-net LR trick (train.py:63)
+    use_pallas: bool = False  # fused Pallas epilogues (ops/)
+    show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
+    show_noise_trunc: float = 0.75
+    noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.epoch_progression)
+
+    def stage_batch(self, stage_index: int) -> int:
+        return self.batch_progression[stage_index]
+
+    def stage_epochs(self, stage_index: int) -> int:
+        return self.epoch_progression[stage_index]
+
+
+def _parse_int_list(s: str) -> Tuple[int, ...]:
+    return tuple(int(v) for v in s.split(","))
+
+
+def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
+    """Build a TrainConfig from a configparser section (reference key names)."""
+    get = section.get
+    defaults = TrainConfig()
+    return TrainConfig(
+        data=get("data", None),
+        device=get("device", defaults.device),
+        c_lambda=float(int(get("gradient_lambda", 10))),  # int() parse, train.py:18
+        noise_size=int(get("noise_length", 512)),
+        beta_1=float(get("beta_1", 0.00)),
+        beta_2=float(get("beta_2", 0.99)),
+        learning_rate=float(get("lr", 0.001)),  # code default 0.001, train.py:23
+        critic_repeats=int(get("critic_repeats", 1)),
+        use_r1=str(get("use_r1", "True")) == "True",  # exact-match, train.py:25
+        num_workers=int(get("dataloader_threads", 2)),
+        display_step=int(get("display_step", 250)),
+        checkpoint_step=int(get("checkpoint_step", 2000)),
+        refresh_stat_step=int(get("refresh_stat_step", 5)),
+        batch_progression=_parse_int_list(
+            get("batch_progression", "24,16,16,16,12,10,5,5")
+        ),
+        epoch_progression=_parse_int_list(
+            get("epoch_progression", "10,20,20,30,30,20,20,15")
+        ),
+        fade_percentage=float(get("fade_percentage", 0.5)),
+        channel_divisor=int(get("channel_divisor", defaults.channel_divisor)),
+        mapping_depth=int(get("mapping_depth", defaults.mapping_depth)),
+        seed=int(get("seed", defaults.seed)),
+        compute_dtype=get("compute_dtype", defaults.compute_dtype),
+        data_axis=int(get("data_axis", defaults.data_axis)),
+        model_axis=int(get("model_axis", defaults.model_axis)),
+        checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),
+        output_dir=get("output_dir", defaults.output_dir),
+        use_pallas=str(get("use_pallas", "False")) == "True",
+    )
+
+
+def load_ini_config(path: str, section: str) -> TrainConfig:
+    """Load ``config.txt``-style INI (reference main.py:21-24)."""
+    parser = configparser.ConfigParser()
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    parser.read(path)
+    return config_from_mapping(parser[section])

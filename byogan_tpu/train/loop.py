@@ -1,0 +1,269 @@
+"""Progressive-growing training orchestration (reference train.py:15-275).
+
+Host-side control (stage/epoch/fade scheduling, IO, checkpoints) around the
+fused device step.  Structural differences from the reference, all
+TPU-motivated and documented:
+
+  * ONE jitted step per (stage, fade-flags) bucket replaces the reference's
+    per-op dispatch; latents/noise are sampled on device.
+  * The fixed 25-sample eval grid is generated only when it is about to be
+    saved (every ``display_step``) — the reference runs that 25-sample
+    forward EVERY iteration and throws it away (train.py:236-237).
+    Observable artifacts (``output/s-{iters}.png``) are identical.
+  * The trailing ragged batch of each epoch is dropped for static shapes
+    (see data/pipeline.py docstring).
+  * Checkpoints carry optimizer + RNG state for exact resume; the
+    reference's resume loses both and restarts alpha (SURVEY.md §5).
+
+Fade-in parity note: the reference computes
+``fade_in = fade_percentage * step_epochs * len(dataloader)`` — a *batch*
+count — but divides an *image* count by it (train.py:119, 143).  Faithfully
+replicated (it is load-bearing for training dynamics): alpha ramps
+``batch_size``-times faster than the percentage suggests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from byogan_tpu.core.grids import display_image
+from byogan_tpu.core.random import truncated_noise
+from byogan_tpu.data.pipeline import (
+    StageDataset,
+    batches_per_epoch,
+    make_stage_loader,
+)
+from byogan_tpu.models import Critic, Generator
+from byogan_tpu.train.checkpoint import (
+    checkpoint_name,
+    restore_train_state,
+    save_checkpoint,
+)
+from byogan_tpu.train.config import TrainConfig
+from byogan_tpu.train.metrics import MetricsLogger
+from byogan_tpu.train.state import TrainState, create_train_state
+from byogan_tpu.train.steps import make_eval_step, make_train_step
+
+
+def _model_dtype(config: TrainConfig):
+    return None if config.compute_dtype == "float32" else jnp.dtype(
+        config.compute_dtype
+    )
+
+
+def model_spec(config: TrainConfig) -> "ModelSpec":
+    from byogan_tpu.models.factory import ModelSpec
+
+    return ModelSpec(
+        num_stages=max(config.num_stages, 1),
+        channel_divisor=config.channel_divisor,
+        mapping_depth=config.mapping_depth,
+    )
+
+
+def build_models(config: TrainConfig) -> Tuple[Generator, Critic]:
+    from byogan_tpu.models.factory import build_critic, build_generator
+
+    dtype = _model_dtype(config)
+    spec = model_spec(config)
+    return (
+        build_generator(spec, dtype=dtype, use_pallas=config.use_pallas),
+        build_critic(spec, dtype=dtype),
+    )
+
+
+def train(
+    config: TrainConfig,
+    checkpoint: Optional[str] = None,
+    max_iters: Optional[int] = None,
+    mesh=None,
+) -> TrainState:
+    """Run the full progressive schedule (reference train.py:15 entrypoint).
+
+    ``checkpoint`` may be our orbax dir or a reference ``.pth``.
+    ``max_iters`` caps total iterations (tests/benchmarks).
+    ``mesh``: optional jax.sharding.Mesh for multi-chip; see parallel/.
+    """
+    if config.data is None:
+        raise ValueError("config.data must point at a prepared dataset")
+    if not os.path.exists(os.path.join(config.data, "prepared")):
+        raise OSError("Did not detect prepared dataset!")
+
+    gen, critic = build_models(config)
+    spec = model_spec(config)
+    state = create_train_state(config, gen, critic)
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    os.makedirs(config.output_dir, exist_ok=True)
+
+    alpha_saved: Optional[float] = None
+    last_stage = last_epoch = None
+    if checkpoint is not None:
+        state, alpha_saved = restore_train_state(checkpoint, state)
+        last_stage, last_epoch = state.stage, state.epoch
+
+    if mesh is not None:
+        from byogan_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(state, mesh)
+
+    # Fixed noise grid to visualize progress (train.py:83: 25 z's, trunc .75).
+    show_z = truncated_noise(
+        jax.random.PRNGKey(config.seed + 7),
+        config.show_noise_count,
+        config.noise_size,
+        config.show_noise_trunc,
+    )
+
+    logger = MetricsLogger(
+        config.refresh_stat_step,
+        jsonl_path=os.path.join(config.output_dir, "metrics.jsonl"),
+    )
+
+    step_cache: Dict[tuple, object] = {}
+    eval_cache: Dict[tuple, object] = {}
+    total_iters = int(state.iters)
+    alpha_for_ckpt: Optional[float] = alpha_saved
+
+    for index in range(config.num_stages):
+        steps = index + 1
+        if last_stage is not None and steps < last_stage:
+            continue
+        batch = config.stage_batch(index)
+        stage_epochs = config.stage_epochs(index)
+
+        dataset = StageDataset(config.data, steps)
+        n_batches = batches_per_epoch(len(dataset), batch)
+        if n_batches == 0:
+            raise ValueError(
+                f"stage {steps}: dataset ({len(dataset)}) smaller than batch "
+                f"({batch})"
+            )
+        # Reference fade-in span (train.py:119) — see module docstring.
+        fade_in = config.fade_percentage * stage_epochs * n_batches
+
+        resume_mid_stage = last_stage is not None and steps == last_stage
+        if not resume_mid_stage:
+            state = state.replace(im_count=jnp.int32(0))  # train.py:108
+        state = state.replace(stage=steps)
+
+        print(f"STARTING STEP #{steps}")
+
+        for epoch in range(stage_epochs):
+            if resume_mid_stage and last_epoch is not None and epoch < last_epoch:
+                continue
+            last_epoch = None
+            state = state.replace(epoch=epoch)
+
+            loader = make_stage_loader(
+                dataset,
+                batch,
+                seed=config.seed * 100003 + steps * 1009 + epoch,
+                workers=config.num_workers,
+            )
+            for real in loader:
+                im_count = int(state.im_count)
+                repeats = config.critic_repeats
+                critic_fade = tuple(
+                    (im_count + r * batch) / fade_in <= 1.0
+                    for r in range(repeats)
+                )
+                gen_fade = (im_count + repeats * batch) / fade_in <= 1.0
+
+                key = (steps, batch, critic_fade, gen_fade)
+                if key not in step_cache:
+                    step_cache[key] = make_train_step(
+                        gen,
+                        critic,
+                        config,
+                        steps=steps,
+                        batch=batch,
+                        fade_in=fade_in,
+                        critic_fade=critic_fade,
+                        gen_fade=gen_fade,
+                    )
+                state, metrics = step_cache[key](state, jnp.asarray(real))
+
+                total_iters = int(state.iters)
+                gen_alpha = (int(state.im_count)) / fade_in
+                alpha_for_ckpt = None if gen_alpha > 1.0 else gen_alpha
+
+                logger.log_step(
+                    total_iters,
+                    float(metrics["c_loss"]),
+                    float(metrics["g_loss"]),
+                    epoch,
+                    steps,
+                    batch,
+                )
+
+                if total_iters > 0 and total_iters % config.display_step == 0:
+                    _save_sample_grid(
+                        gen, config, state, show_z, steps, gen_fade,
+                        alpha_for_ckpt, total_iters, eval_cache,
+                    )
+                if total_iters > 0 and total_iters % config.checkpoint_step == 0:
+                    save_checkpoint(
+                        config.checkpoint_dir, state, alpha_for_ckpt,
+                        model_spec=spec,
+                    )
+                if max_iters is not None and total_iters >= max_iters:
+                    logger.close()
+                    save_checkpoint(
+                        config.checkpoint_dir, state, alpha_for_ckpt,
+                        model_spec=spec,
+                    )
+                    return state
+        last_stage = None
+
+    # Final artifacts (train.py:261-275): sample grid + FINAL checkpoint with
+    # alpha=None.
+    _save_sample_grid(
+        gen, config, state, show_z, state.stage, False, None,
+        total_iters, eval_cache, filename="s-final",
+    )
+    save_checkpoint(
+        config.checkpoint_dir, state, None, name="FINAL", model_spec=spec
+    )
+    logger.close()
+    print("TRAINING IS FINISHED - MODEL SAVED!")
+    return state
+
+
+def _save_sample_grid(
+    gen: Generator,
+    config: TrainConfig,
+    state: TrainState,
+    show_z: jax.Array,
+    steps: int,
+    fade: bool,
+    alpha: Optional[float],
+    iters: int,
+    eval_cache: Dict[tuple, object],
+    filename: Optional[str] = None,
+) -> None:
+    """Reference display path (train.py:238-245): clamp to [0,1], 5x5 grid,
+    matplotlib title 'Iteration {iters}', file ``output/s-{iters}.png``."""
+    key = (steps, fade)
+    if key not in eval_cache:
+        eval_cache[key] = make_eval_step(gen, config, steps=steps, fade=fade)
+    examples = eval_cache[key](
+        state.gen_params,
+        show_z,
+        jax.random.fold_in(jax.random.PRNGKey(config.seed + 13), iters),
+        jnp.float32(0.0 if alpha is None else alpha),
+    )
+    imgs = np.clip(np.asarray(examples), 0.0, 1.0)
+    display_image(
+        imgs,
+        num_display=config.show_noise_count,
+        save_to_disk=True,
+        save_dir=config.output_dir,
+        filename=filename or f"s-{iters}",
+        title=f"Iteration {iters}",
+    )

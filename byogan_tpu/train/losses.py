@@ -1,0 +1,117 @@
+"""GAN losses as pure functions (reference gan.py:224-228, 357-412).
+
+The reference attaches losses as nn.Module methods that call ``.backward()``
+themselves (critic side) or return tensors for the caller to backward (gen
+side).  In JAX both are pure scalar functions differentiated with
+``jax.grad``; the R1/GP "double backward" is an inner ``jax.vjp`` through the
+critic w.r.t. its *input images*, nested inside the outer parameter gradient
+— trivially composable under jit and pjit.
+
+Reference-bug policy (SURVEY.md §7): the reference's WGAN-GP is broken as
+written (undefined ``self.device`` / ``fake_im``, gan.py:368/372 — NameError
+if ever called; dead path under the default ``use_r1=True``).  Here it is
+implemented *correctly* per the WGAN-GP paper semantics the reference
+intended: eps-mixed images, gradient-norm penalty ``(||grad||_2 - 1)^2``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Apply = Callable[..., jax.Array]  # critic apply: (params, images) -> (N, 1)
+
+
+def softplus(x: jax.Array) -> jax.Array:
+    return jax.nn.softplus(x)
+
+
+# -- Generator losses (reference gan.py:224-228) ----------------------------
+
+
+def gen_wgan_loss(crit_fake_pred: jax.Array) -> jax.Array:
+    """``-mean(D(G(z)))`` (gan.py:224-225)."""
+    return -jnp.mean(crit_fake_pred)
+
+
+def gen_logistic_loss(crit_fake_pred: jax.Array) -> jax.Array:
+    """Non-saturating logistic ``mean(softplus(-D(G(z))))`` (gan.py:227-228;
+    the reference misnames this ``get_r1_loss`` — the R1 penalty itself lives
+    on the critic side)."""
+    return jnp.mean(softplus(-crit_fake_pred))
+
+
+# -- Critic losses (reference gan.py:357-412) -------------------------------
+
+
+def critic_r1_loss(
+    critic_fn: Callable[[jax.Array], jax.Array],
+    real: jax.Array,
+    fake: jax.Array,
+    c_lambda: float,
+) -> Tuple[jax.Array, dict]:
+    """Logistic loss + R1 penalty (reference gan.py:393-412).
+
+    ``softplus(-D(real)).mean() + softplus(D(fake)).mean()
+      + (lambda/2) * mean(||d D(real) / d real||^2)``
+
+    The penalty gradient is computed with one ``jax.vjp`` through the critic,
+    reusing the real-image forward pass for both the prediction and the
+    gradient (the reference runs autograd.grad on the same graph,
+    gan.py:398-400).
+    """
+    real_pred, vjp_fn = jax.vjp(critic_fn, real)
+    (grad_real,) = vjp_fn(jnp.ones_like(real_pred))
+    grad_real = grad_real.astype(jnp.float32)
+    # torch: grad.view(N, -1).norm(2, dim=1) ** 2, then mean (gan.py:401-403)
+    gp = jnp.mean(jnp.sum(jnp.square(grad_real.reshape(real.shape[0], -1)), axis=1))
+    fake_pred = critic_fn(fake)
+    real_term = jnp.mean(softplus(-real_pred.astype(jnp.float32)))
+    fake_term = jnp.mean(softplus(fake_pred.astype(jnp.float32)))
+    penalty = (c_lambda / 2.0) * gp
+    loss = real_term + fake_term + penalty
+    aux = {
+        "real_pred": jnp.mean(real_pred),
+        "fake_pred": jnp.mean(fake_pred),
+        "r1_penalty": penalty,
+    }
+    return loss, aux
+
+
+def critic_wgan_gp_loss(
+    critic_fn: Callable[[jax.Array], jax.Array],
+    real: jax.Array,
+    fake: jax.Array,
+    c_lambda: float,
+    eps_rng: jax.Array,
+) -> Tuple[jax.Array, dict]:
+    """WGAN-GP (corrected reference gan.py:357-391; see module docstring).
+
+    ``-mean(D(real)) + mean(D(fake))
+      + lambda * mean((||d D(x_hat)/d x_hat||_2 - 1)^2)``
+    with ``x_hat = eps*real + (1-eps)*fake``, per-sample eps ~ U[0,1)
+    (gan.py:367-372 intent).
+    """
+    n = real.shape[0]
+    eps = jax.random.uniform(eps_rng, (n, 1, 1, 1), dtype=real.dtype)
+    mixed = real * eps + (1.0 - eps) * fake
+    mixed_pred, vjp_fn = jax.vjp(critic_fn, mixed)
+    (grad_mixed,) = vjp_fn(jnp.ones_like(mixed_pred))
+    grad_mixed = grad_mixed.astype(jnp.float32)
+    norms = jnp.sqrt(jnp.sum(jnp.square(grad_mixed.reshape(n, -1)), axis=1) + 1e-12)
+    gp = jnp.mean(jnp.square(norms - 1.0))
+    real_pred = critic_fn(real)
+    fake_pred = critic_fn(fake)
+    loss = (
+        -jnp.mean(real_pred.astype(jnp.float32))
+        + jnp.mean(fake_pred.astype(jnp.float32))
+        + c_lambda * gp
+    )
+    aux = {
+        "real_pred": jnp.mean(real_pred),
+        "fake_pred": jnp.mean(fake_pred),
+        "gradient_penalty": c_lambda * gp,
+    }
+    return loss, aux

@@ -1,0 +1,179 @@
+"""Fused jitted train/eval steps — one XLA program per compile bucket.
+
+The reference's hot loop (train.py:132-259) interleaves many small CUDA
+launches: critic repeats, generator update, eval sampling.  TPU-natively the
+*entire iteration* — critic_repeats critic updates + one generator update,
+including on-device latent/noise sampling and both R1 double-backwards — is
+ONE jitted function with donated state, so XLA schedules/fuses everything and
+no host round-trips happen inside an iteration.
+
+Compile buckets: (stage steps, per-repeat fade flags, gen fade flag) — the
+progressive analogue of the reference's dynamic-depth forward.  ``alpha`` is
+recomputed on device from ``im_count`` exactly as train.py:143-146 /
+198-201: ``alpha = im_count / fade_in``, switching to the no-blend variant
+once alpha exceeds 1.0 (the host picks the bucket; the boundary condition
+matches because ``im_count`` is deterministic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from byogan_tpu.core.random import synthesis_noise, truncated_noise
+from byogan_tpu.models import Critic, Generator
+from byogan_tpu.train import losses
+from byogan_tpu.train.config import TrainConfig
+from byogan_tpu.train.state import (
+    TrainState,
+    make_critic_optimizer,
+    make_gen_optimizer,
+)
+
+
+def make_train_step(
+    gen: Generator,
+    critic: Critic,
+    config: TrainConfig,
+    steps: int,
+    batch: int,
+    fade_in: float,
+    critic_fade: Tuple[bool, ...],
+    gen_fade: bool,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the fused step for one compile bucket.
+
+    Args:
+      steps: progressive stage (static; 1 = 4x4).
+      batch: per-step global batch size (static shapes for XLA).
+      fade_in: fade-in denominator in images (train.py:119); static per stage.
+      critic_fade: per-critic-repeat fade flags (True = blend path); length
+        must equal ``config.critic_repeats``.
+      gen_fade: fade flag for the generator phase.
+    """
+    if len(critic_fade) != config.critic_repeats:
+        raise ValueError("critic_fade must have one flag per critic repeat")
+
+    gen_tx = make_gen_optimizer(config)
+    critic_tx = make_critic_optimizer(config)
+    use_r1 = config.use_r1
+    c_lambda = config.c_lambda
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
+    def alpha_of(im_count: jax.Array) -> jax.Array:
+        return (im_count.astype(jnp.float32) + 0.0) / fade_in
+
+    def step(
+        state: TrainState, real: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng = state.rng
+        im_count = state.im_count
+        c_params = state.critic_params
+        c_opt_state = state.critic_opt_state
+        real = real.astype(compute_dtype)
+
+        c_loss = jnp.float32(0)
+        c_aux: Dict[str, jax.Array] = {}
+        for r, fade in enumerate(critic_fade):
+            rng, z_key, noise_key, eps_key = jax.random.split(rng, 4)
+            alpha = alpha_of(im_count) if fade else None
+            z = truncated_noise(
+                z_key, batch, config.noise_size, config.noise_trunc, compute_dtype
+            )
+            noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
+            fake = gen.apply(
+                {"params": state.gen_params}, z, noise, steps=steps, alpha=alpha
+            )
+            fake = jax.lax.stop_gradient(fake)  # critic sees detached fakes
+            # (train.py:160)
+
+            def c_loss_fn(cp):
+                crit = lambda imgs: critic.apply(  # noqa: E731
+                    {"params": cp}, imgs, steps=steps, alpha=alpha
+                )
+                if use_r1:
+                    return losses.critic_r1_loss(crit, real, fake, c_lambda)
+                return losses.critic_wgan_gp_loss(
+                    crit, real, fake, c_lambda, eps_key
+                )
+
+            (c_loss, c_aux), c_grads = jax.value_and_grad(c_loss_fn, has_aux=True)(
+                c_params
+            )
+            updates, c_opt_state = critic_tx.update(c_grads, c_opt_state, c_params)
+            c_params = optax.apply_updates(c_params, updates)
+            im_count = im_count + batch
+
+        # Generator phase (train.py:193-219): fresh latents, alpha recomputed
+        # after the critic repeats advanced im_count (train.py:198-201).
+        rng, z_key, noise_key = jax.random.split(rng, 3)
+        alpha_g = alpha_of(im_count) if gen_fade else None
+        z = truncated_noise(
+            z_key, batch, config.noise_size, config.noise_trunc, compute_dtype
+        )
+        noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
+
+        def g_loss_fn(gp):
+            fake = gen.apply({"params": gp}, z, noise, steps=steps, alpha=alpha_g)
+            pred = critic.apply(
+                {"params": c_params}, fake, steps=steps, alpha=alpha_g
+            )
+            if use_r1:
+                return losses.gen_logistic_loss(pred)
+            return losses.gen_wgan_loss(pred)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.gen_params)
+        g_updates, g_opt_state = gen_tx.update(
+            g_grads, state.gen_opt_state, state.gen_params
+        )
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = state.replace(
+            gen_params=gen_params,
+            critic_params=c_params,
+            gen_opt_state=g_opt_state,
+            critic_opt_state=c_opt_state,
+            rng=rng,
+            iters=state.iters + 1,
+            im_count=im_count,
+        )
+        metrics = {
+            "c_loss": c_loss.astype(jnp.float32),
+            "g_loss": g_loss.astype(jnp.float32),
+            **{k: v.astype(jnp.float32) for k, v in c_aux.items()},
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    gen: Generator,
+    config: TrainConfig,
+    steps: int,
+    fade: bool,
+) -> Callable[[Any, jax.Array, jax.Array, Optional[jax.Array]], jax.Array]:
+    """Jitted eval sampling (the reference's fixed 25-noise grid forward,
+    train.py:236-237).  Returns NHWC images in the generator's output range.
+    """
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def eval_step(gen_params, show_z, noise_rng, alpha):
+        noise = synthesis_noise(
+            noise_rng, show_z.shape[0], steps, dtype=compute_dtype
+        )
+        return gen.apply(
+            {"params": gen_params},
+            show_z.astype(compute_dtype),
+            noise,
+            steps=steps,
+            alpha=alpha if fade else None,
+        ).astype(jnp.float32)
+
+    return eval_step

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore: exact resume, latest discovery, torch interop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byogan_tpu.train.checkpoint import (
+    checkpoint_name,
+    latest_checkpoint,
+    load_checkpoint,
+    restore_train_state,
+    save_checkpoint,
+)
+from byogan_tpu.train.state import create_train_state
+from tests.test_train_step import build, small_config
+
+
+def test_save_and_exact_restore(tmp_path):
+    config = small_config()
+    gen, critic, state = build(config)
+    state = state.replace(iters=jnp.int32(42), im_count=jnp.int32(17), stage=2, epoch=3)
+    path = save_checkpoint(str(tmp_path), state, alpha=0.35)
+    assert path.endswith(checkpoint_name(42))
+
+    _, _, template = build(config)
+    restored, alpha = restore_train_state(path, template)
+    assert alpha == pytest.approx(0.35)
+    assert int(restored.iters) == 42
+    assert int(restored.im_count) == 17
+    assert restored.stage == 2 and restored.epoch == 3
+    for a, b in zip(
+        jax.tree.leaves(state.gen_params), jax.tree.leaves(restored.gen_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored exactly (the reference drops it, SURVEY.md §5)
+    for a, b in zip(
+        jax.tree.leaves(state.gen_opt_state),
+        jax.tree.leaves(restored.gen_opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.rng), np.asarray(restored.rng))
+
+
+def test_latest_checkpoint(tmp_path):
+    config = small_config()
+    gen, critic, state = build(config)
+    for it in (10, 200, 30):
+        save_checkpoint(str(tmp_path), state.replace(iters=jnp.int32(it)), None)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("chk-200")
+    assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_alpha_none_round_trip(tmp_path):
+    config = small_config()
+    gen, critic, state = build(config)
+    path = save_checkpoint(str(tmp_path), state, alpha=None, name="FINAL")
+    loaded = load_checkpoint(path)
+    assert loaded["alpha"] is None
+
+
+def test_torch_checkpoint_interop(tmp_path):
+    """Full-size export -> reference-format .pth -> reload round trip."""
+    torch = pytest.importorskip("torch")
+    from byogan_tpu.models import Critic, Generator
+    from byogan_tpu.train.checkpoint import export_torch_checkpoint
+    from byogan_tpu.train.config import TrainConfig
+
+    config = TrainConfig(compute_dtype="float32")
+    gen, critic = Generator(), Critic()
+    state = create_train_state(config, gen, critic)
+    state = state.replace(iters=jnp.int32(7), stage=2)
+    pth = str(tmp_path / "chk-7.pth")
+    export_torch_checkpoint(pth, state, alpha=0.5)
+
+    save = torch.load(pth, weights_only=False)
+    assert save["step"] == 2 and save["iter"] == 7 and save["alpha"] == 0.5
+    assert any(k.startswith("module.") for k in save["gen"])
+
+    loaded = load_checkpoint(pth)  # sniffs .pth file
+    for a, b in zip(
+        jax.tree.leaves(state.gen_params), jax.tree.leaves(loaded["gen_params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)

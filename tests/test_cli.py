@@ -1,0 +1,95 @@
+"""CLI surface tests: prep / train / generate_samples / interpolate."""
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byogan_tpu.cli import generate_samples, interpolate, prep
+from byogan_tpu.data.synthetic import write_synthetic_dataset
+from byogan_tpu.train.checkpoint import save_checkpoint
+from byogan_tpu.train.state import create_train_state
+from tests.test_train_step import build, small_config
+
+
+@pytest.fixture(scope="module")
+def small_ckpt(tmp_path_factory):
+    """A saved checkpoint from factory-built tiny models at stage 2 (8x8);
+    its ModelSpec travels in the meta so CLIs rebuild the right arch."""
+    from byogan_tpu.models.factory import ModelSpec, build_critic, build_generator
+
+    spec = ModelSpec(num_stages=3, channel_divisor=16, mapping_depth=2)
+    config = small_config()
+    gen, critic = build_generator(spec), build_critic(spec)
+    state = create_train_state(config, gen, critic)
+    state = state.replace(iters=jnp.int32(11), stage=2)
+    path = save_checkpoint(
+        str(tmp_path_factory.mktemp("ckpt")), state, alpha=None, model_spec=spec
+    )
+    return path
+
+
+def test_prep_cli(tmp_path, capsys):
+    root = str(tmp_path / "ds")
+    write_synthetic_dataset(root, n_images=6, size=8)
+    prep.main([root, "4", "8", "--yes"])
+    out = capsys.readouterr().out
+    assert "dataset ready: 2 resolution sets" in out
+    assert os.path.isdir(os.path.join(root, "prepared", "set_2", "images"))
+
+
+def test_generate_samples_cli(small_ckpt, tmp_path, capsys):
+    out_dir = str(tmp_path / "samples")
+    os.makedirs(out_dir)
+    generate_samples.main(
+        [small_ckpt, "5", "-o", out_dir, "-z", "32", "-t", "0.5", "--seed", "0"]
+    )
+    files = sorted(glob.glob(os.path.join(out_dir, "image_*.png")))
+    assert len(files) == 5
+    # reference naming: image_1.png .. image_5.png (generate_samples.py:58)
+    assert os.path.basename(files[0]) == "image_1.png"
+    from PIL import Image
+
+    with Image.open(files[0]) as im:
+        assert im.size == (8, 8)  # stage 2 -> 8x8
+
+
+def test_generate_samples_missing_output_dir(small_ckpt, tmp_path):
+    with pytest.raises(OSError, match="path does not exist"):
+        generate_samples.main([small_ckpt, "1", "-o", str(tmp_path / "nope")])
+
+
+def test_interpolate_cli(small_ckpt, tmp_path, capsys):
+    out_dir = str(tmp_path / "frames")
+    interpolate.main(
+        [small_ckpt, "-o", out_dir, "-n", "3", "-p", "5", "-z", "32"]
+    )
+    frames = sorted(glob.glob(os.path.join(out_dir, "image_*.png")))
+    # (n-1) pairs x p frames = 2 x 5 = 10
+    assert len(frames) == 10
+    out = capsys.readouterr().out
+    assert "wrote 10 frames" in out
+
+
+def test_train_cli_reads_reference_config(tmp_path, monkeypatch):
+    """main.py surface: config.txt section selection + checkpoint flag."""
+    from byogan_tpu.cli import main as train_cli
+
+    cfg = tmp_path / "config.txt"
+    cfg.write_text(
+        "[DEFAULT]\nbatch_progression=2,2\nepoch_progression=1,1\nlr=0.002\n"
+        "[tiny]\ndata=/nonexistent\n"
+    )
+    captured = {}
+
+    def fake_train(config, checkpoint=None, max_iters=None):
+        captured["config"] = config
+        captured["checkpoint"] = checkpoint
+
+    monkeypatch.setattr(train_cli, "train", fake_train)
+    train_cli.main(["tiny", "--config-file", str(cfg), "-c", "some.pth"])
+    assert captured["config"].learning_rate == 0.002
+    assert captured["config"].data == "/nonexistent"
+    assert captured["checkpoint"] == "some.pth"

@@ -1,0 +1,82 @@
+"""Data layer: synthetic corpus -> prep pyramid -> stage loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from byogan_tpu.data.pipeline import (
+    StageDataset,
+    batches_per_epoch,
+    make_stage_loader,
+)
+from byogan_tpu.data.prep import prepare_pyramid
+from byogan_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    write_synthetic_dataset(root, n_images=10, size=16)
+    prepare_pyramid(root, start_size=4, end_size=16)
+    return root
+
+
+def test_prep_layout(prepared):
+    """Reference on-disk layout (prep.py:53): prepared/set_{k}/images/*.png"""
+    assert os.path.isdir(os.path.join(prepared, "original", "images"))
+    for k, size in ((1, 4), (2, 8), (3, 16)):
+        set_dir = os.path.join(prepared, "prepared", f"set_{k}", "images")
+        files = sorted(os.listdir(set_dir))
+        assert len(files) == 10
+        assert files[0].startswith("image-") and files[0].endswith(".png")
+        from PIL import Image
+
+        with Image.open(os.path.join(set_dir, files[0])) as im:
+            assert im.size == (size, size)
+
+
+def test_prep_skips_existing(prepared):
+    """Re-running prep without overwrite leaves sets untouched (prep.py:55-60
+    analogue)."""
+    mark = os.path.join(prepared, "prepared", "set_1", "images", "image-0.png")
+    before = os.path.getmtime(mark)
+    prepare_pyramid(prepared, 4, 16)
+    assert os.path.getmtime(mark) == before
+
+
+def test_stage_loader_batches(prepared):
+    ds = StageDataset(prepared, 2)
+    assert len(ds) == 10
+    batches = list(make_stage_loader(ds, batch_size=4, seed=1, epochs=2))
+    # drop_remainder: 10 // 4 = 2 batches per epoch, 2 epochs
+    assert len(batches) == 4
+    for b in batches:
+        assert b.shape == (4, 8, 8, 3)
+        assert b.dtype == np.float32
+        assert b.min() >= -1.0 and b.max() <= 1.0
+    assert batches_per_epoch(10, 4) == 2
+
+
+def test_loader_deterministic_given_seed(prepared):
+    ds = StageDataset(prepared, 1)
+    a = list(make_stage_loader(ds, 4, seed=7, epochs=1))
+    b = list(make_stage_loader(ds, 4, seed=7, epochs=1))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_loader_cache_consistency(prepared):
+    ds_cached = StageDataset(prepared, 2)
+    ds_cached.maybe_cache()
+    ds_cold = StageDataset(prepared, 2, cache_limit_bytes=0)
+    assert not ds_cold.maybe_cache()
+    idx = np.array([3, 1, 4])
+    np.testing.assert_array_equal(
+        ds_cached.get_batch_uint8(idx), ds_cold.get_batch_uint8(idx)
+    )
+
+
+def test_missing_dataset_raises(tmp_path):
+    with pytest.raises(OSError, match="Did not detect prepared dataset"):
+        StageDataset(str(tmp_path), 1)

@@ -1,0 +1,148 @@
+"""Tests for the fused train step: both losses, fade/no-fade, state advance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byogan_tpu.models import Critic, Generator
+from byogan_tpu.train.config import TrainConfig
+from byogan_tpu.train.state import TrainState, create_train_state, make_gen_optimizer
+from byogan_tpu.train.steps import make_eval_step, make_train_step
+from tests.test_models_smoke import (
+    SMALL_CRITIC_BLOCKS,
+    SMALL_CRITIC_FROM_RGB,
+    SMALL_GEN_CHANNELS,
+    small_critic,
+    small_generator,
+)
+
+
+def small_config(**kw):
+    defaults = dict(
+        noise_size=32,
+        compute_dtype="float32",
+        batch_progression=(4, 4, 4),
+        epoch_progression=(1, 1, 1),
+        learning_rate=0.001,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def build(config):
+    gen = small_generator()
+    critic = small_critic()
+    state = create_train_state(config, gen, critic)
+    return gen, critic, state
+
+
+@pytest.mark.parametrize("use_r1", [True, False])
+@pytest.mark.parametrize("fade", [True, False])
+def test_train_step_runs_and_updates(use_r1, fade):
+    config = small_config(use_r1=use_r1)
+    gen, critic, state = build(config)
+    steps, batch = 2, 4
+    step_fn = make_train_step(
+        gen, critic, config,
+        steps=steps, batch=batch, fade_in=100.0,
+        critic_fade=(fade,), gen_fade=fade, donate=False,
+    )
+    real = jax.random.normal(jax.random.PRNGKey(9), (batch, 8, 8, 3))
+    g0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.gen_params)
+
+    metrics = None
+    for _ in range(2):
+        state, metrics = step_fn(state, real)
+
+    assert np.isfinite(metrics["c_loss"]) and np.isfinite(metrics["g_loss"])
+    assert int(state.iters) == 2
+    assert int(state.im_count) == 2 * batch * config.critic_repeats
+    # generator params moved
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), state.gen_params, g0
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_critic_repeats_advances_im_count():
+    config = small_config(critic_repeats=3)
+    gen, critic, state = build(config)
+    step_fn = make_train_step(
+        gen, critic, config,
+        steps=1, batch=4, fade_in=50.0,
+        critic_fade=(True, True, True), gen_fade=True, donate=False,
+    )
+    real = jnp.zeros((4, 4, 4, 3))
+    state, _ = step_fn(state, real)
+    assert int(state.im_count) == 12
+
+
+def test_mapping_lr_group_is_smaller():
+    """Mapping net must update ~100x slower than synthesis (train.py:61-64)."""
+    config = small_config()
+    gen, critic, state = build(config)
+    tx = make_gen_optimizer(config)
+    grads = jax.tree.map(jnp.ones_like, state.gen_params)
+    updates, _ = tx.update(grads, state.gen_opt_state, state.gen_params)
+    map_update = float(
+        jnp.abs(updates["mapping"]["dense0"]["weight"]).max()
+    )
+    main_update = float(jnp.abs(updates["stages_0"]["conv1"]["const"]).max())
+    assert map_update == pytest.approx(main_update * config.mapping_lr_mult, rel=1e-3)
+
+
+def test_eval_step_shapes():
+    config = small_config()
+    gen, critic, state = build(config)
+    eval_fn = make_eval_step(gen, config, steps=3, fade=True)
+    z = jax.random.normal(jax.random.PRNGKey(0), (25, 32))
+    imgs = eval_fn(state.gen_params, z, jax.random.PRNGKey(1), jnp.float32(0.5))
+    assert imgs.shape == (25, 16, 16, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_r1_penalty_matches_torch_reference_gradients():
+    """R1 critic gradients via nested vjp equal torch autograd numbers."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    from tests.conftest import REFERENCE_DIR, reference_available
+
+    if not reference_available():
+        pytest.skip("reference unavailable")
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import gan
+
+    from byogan_tpu.compat.torch_ckpt import critic_params_from_torch
+    from byogan_tpu.train.losses import critic_r1_loss
+
+    torch.manual_seed(0)
+    ref_critic = gan.Critic()
+    params = critic_params_from_torch(ref_critic.state_dict())
+    critic = Critic()
+
+    batch, steps, lam = 4, 2, 10.0
+    real_t = torch.randn(batch, 3, 8, 8, requires_grad=True)
+    fake_t = torch.randn(batch, 3, 8, 8)
+
+    # torch oracle (mirrors gan.py:393-412 math without the .backward side
+    # effect)
+    real_pred = ref_critic(real_t, 2, None)
+    fake_pred = ref_critic(fake_t, 2, None)
+    grad_real = torch.autograd.grad(real_pred.sum(), real_t, create_graph=True)[0]
+    gp = (grad_real.view(batch, -1).norm(2, dim=1) ** 2).mean()
+    want = (
+        torch.nn.functional.softplus(-real_pred).mean()
+        + torch.nn.functional.softplus(fake_pred).mean()
+        + lam / 2 * gp
+    ).item()
+
+    real_j = jnp.asarray(real_t.detach().numpy().transpose(0, 2, 3, 1))
+    fake_j = jnp.asarray(fake_t.numpy().transpose(0, 2, 3, 1))
+    crit_fn = lambda imgs: critic.apply(  # noqa: E731
+        {"params": params}, imgs, steps=2, alpha=None
+    )
+    got, _ = critic_r1_loss(crit_fn, real_j, fake_j, lam)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
