@@ -26,6 +26,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from byogan_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from byogan_tpu.models import Critic, Generator
     from byogan_tpu.train.config import TrainConfig
     from byogan_tpu.train.state import create_train_state

@@ -1,0 +1,64 @@
+"""Export a byogan_tpu checkpoint as a reference-loadable PyTorch ``.pth``.
+
+Interop completion: the reference's own ``generate_samples.py`` /
+``interpolate.py`` can consume the exported file (DataParallel ``module.``
+keys, logical fields of train.py:248-259).  Only reference-shaped
+architectures (ModelSpec defaults) are exportable — scaled models have no
+torch counterpart.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Export checkpoint to .pth")
+    parser.add_argument("checkpoint", help="byogan_tpu checkpoint directory")
+    parser.add_argument("output", help="output .pth path")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from byogan_tpu.models.factory import ModelSpec
+    from byogan_tpu.train.checkpoint import load_checkpoint
+
+    save = load_checkpoint(args.checkpoint)
+    spec = ModelSpec.from_dict(save.get("model"))
+    if not spec.is_reference_compatible:
+        raise SystemExit(
+            f"checkpoint architecture {spec} is not the reference shape; "
+            "only ModelSpec() defaults can be exported to .pth"
+        )
+
+    import numpy as np
+    import torch
+
+    from byogan_tpu.compat.torch_ckpt import (
+        critic_params_to_torch,
+        generator_params_to_torch,
+    )
+
+    out = {
+        "gen": {
+            k: torch.from_numpy(np.array(v))
+            for k, v in generator_params_to_torch(save["gen_params"]).items()
+        },
+        "critic": {
+            k: torch.from_numpy(np.array(v))
+            for k, v in critic_params_to_torch(save["critic_params"]).items()
+        },
+        "iter": save["iter"],
+        "im_count": save["im_count"],
+        "step": save["step"],
+        "epoch": save["epoch"],
+        "alpha": save["alpha"],
+    }
+    torch.save(out, args.output)
+    print(f"exported {args.checkpoint} -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

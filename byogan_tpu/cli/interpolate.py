@@ -38,8 +38,11 @@ def main(argv=None):
 
     import jax
 
+    from byogan_tpu.core.cache import enable_compilation_cache
+
     if args.device:
         jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -29,16 +29,40 @@ def main(argv=None):
     parser.add_argument(
         "--trace-dir", default=None, help="write a jax.profiler trace here"
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: call jax.distributed.initialize() before training "
+        "(mesh axes come from the data_axis/model_axis config keys)",
+    )
+    parser.add_argument(
+        "--auto-resume", action="store_true",
+        help="resume from the newest checkpoint in checkpoint_dir if one "
+        "exists (failure recovery; the reference requires a manual -c path)",
+    )
     args = parser.parse_args(argv)
 
     import jax
 
+    from byogan_tpu.core.cache import enable_compilation_cache
+
+    if args.distributed:
+        jax.distributed.initialize()
     config = load_ini_config(args.config_file, args.config)
     if config.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()
     print(f"devices: {jax.devices()}")
+
+    checkpoint = args.checkpoint
+    if checkpoint is None and args.auto_resume:
+        from byogan_tpu.train.checkpoint import latest_checkpoint
+
+        checkpoint = latest_checkpoint(config.checkpoint_dir)
+        if checkpoint:
+            print(f"auto-resuming from {checkpoint}")
+
     with trace_if(args.trace_dir):
-        train(config, checkpoint=args.checkpoint, max_iters=args.max_iters)
+        train(config, checkpoint=checkpoint, max_iters=args.max_iters)
 
 
 if __name__ == "__main__":

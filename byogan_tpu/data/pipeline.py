@@ -62,6 +62,11 @@ class StageDataset:
         return len(self.files)
 
     def _decode(self, path: str) -> np.ndarray:
+        from byogan_tpu.data import native
+
+        img = native.decode_image(path)
+        if img is not None:
+            return img
         from PIL import Image
 
         with Image.open(path) as im:
@@ -89,19 +94,37 @@ class StageDataset:
     def get_batch_uint8(self, indices: np.ndarray, workers: int = 8) -> np.ndarray:
         if self._cache is not None:
             return self._cache[indices]
-        out = None
+        from byogan_tpu.data import native
+
+        probe = self._decode(self.files[int(indices[0])])
+        batch = native.decode_batch(
+            [self.files[int(i)] for i in indices],
+            probe.shape[0],
+            probe.shape[1],
+            threads=workers,
+        )
+        if batch is not None:
+            return batch
+        out = np.empty((len(indices),) + probe.shape, np.uint8)
+        out[0] = probe
         with ThreadPoolExecutor(max_workers=workers) as pool:
             for j, img in enumerate(
-                pool.map(lambda i: self._decode(self.files[i]), indices)
+                pool.map(lambda i: self._decode(self.files[i]), indices[1:])
             ):
-                if out is None:
-                    out = np.empty((len(indices),) + img.shape, np.uint8)
-                out[j] = img
+                out[j + 1] = img
         return out
 
 
 def _normalize(batch_u8: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:
-    """uint8 NHWC -> float32 in [-1,1] with per-sample horizontal flip."""
+    """uint8 NHWC -> float32 in [-1,1] with per-sample horizontal flip.
+
+    Uses the fused native kernel (data/native.py) when available.
+    """
+    from byogan_tpu.data import native
+
+    out = native.normalize_batch(batch_u8, flip_mask)
+    if out is not None:
+        return out
     batch = batch_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
     if flip_mask.any():
         batch[flip_mask] = batch[flip_mask, :, ::-1]

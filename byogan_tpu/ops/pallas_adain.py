@@ -23,20 +23,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, noise_ref, w_ref, gamma_ref, beta_ref, out_ref, *, eps):
-    # Block shapes: x (1, HW, C), noise (1, HW, 1), w (1, C), gamma/beta (1, C)
+    # Blocks (one grid program per sample): x (1, HW, C), noise (1, HW, 1),
+    # w (1, C) full array, gamma/beta (1, 1, C) — per-sample rows arrive as
+    # their own blocks because Mosaic requires sublane indices to be
+    # 8-aligned, which a dynamic gamma_ref[i] row read cannot prove.
     x = x_ref[0]  # (HW, C)
     noise = noise_ref[0]  # (HW, 1)
     w = w_ref[0]  # (C,)
     h = x + w[None, :].astype(x.dtype) * noise.astype(x.dtype)
-    h = jnp.where(h >= 0, h, 0.2 * h)
+    # LeakyReLU(0.2) as max(h, 0.2h) — identical for slope < 1, and avoids a
+    # bf16 compare Mosaic's VPU lowering rejects.
+    h = jnp.maximum(h, jnp.asarray(0.2, h.dtype) * h)
     h32 = h.astype(jnp.float32)
     hw = h32.shape[0]
     mean = jnp.sum(h32, axis=0, keepdims=True) / hw  # (1, C)
     centered = h32 - mean
     var = jnp.sum(centered * centered, axis=0, keepdims=True) / hw
     norm = centered * jax.lax.rsqrt(var + eps)
-    gamma = gamma_ref[0].astype(jnp.float32)[None, :]
-    beta = beta_ref[0].astype(jnp.float32)[None, :]
+    gamma = gamma_ref[0].astype(jnp.float32)  # (1, C)
+    beta = beta_ref[0].astype(jnp.float32)  # (1, C)
     out_ref[0] = (gamma * norm + beta).astype(out_ref.dtype)
 
 
@@ -55,6 +60,8 @@ def noise_lrelu_adain_pallas(
     x2 = x.reshape(n, hw, c)
     noise2 = noise.reshape(n, hw, 1)
     w2 = noise_w.reshape(1, c)
+    gamma3 = gamma.reshape(n, 1, c)
+    beta3 = beta.reshape(n, 1, c)
 
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
@@ -63,9 +70,9 @@ def noise_lrelu_adain_pallas(
         in_specs=[
             pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hw, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w: full (1, C)
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -75,5 +82,5 @@ def noise_lrelu_adain_pallas(
             bytes_accessed=2 * n * hw * c * x.dtype.itemsize,
             transcendentals=n * c,  # rsqrt
         ),
-    )(x2, noise2, w2, gamma, beta)
+    )(x2, noise2, w2, gamma3, beta3)
     return out.reshape(n, h, w, c)

@@ -42,11 +42,12 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
         data = len(devices) // model
-    if data * model != len(devices):
+    if data * model > len(devices):
         raise ValueError(
-            f"mesh {data}x{model} != {len(devices)} devices available"
+            f"mesh {data}x{model} needs more than the {len(devices)} devices "
+            "available"
         )
-    arr = np.asarray(devices).reshape(data, model)
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

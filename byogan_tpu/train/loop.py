@@ -107,10 +107,15 @@ def train(
         state, alpha_saved = restore_train_state(checkpoint, state)
         last_stage, last_epoch = state.stage, state.epoch
 
+    if mesh is None and (config.data_axis > 1 or config.model_axis > 1):
+        from byogan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=config.data_axis, model=config.model_axis)
     if mesh is not None:
         from byogan_tpu.parallel.mesh import shard_train_state
 
         state = shard_train_state(state, mesh)
+        print(f"mesh: {dict(mesh.shape)}")
 
     # Fixed noise grid to visualize progress (train.py:83: 25 z's, trunc .75).
     show_z = truncated_noise(
@@ -187,7 +192,13 @@ def train(
                         critic_fade=critic_fade,
                         gen_fade=gen_fade,
                     )
-                state, metrics = step_cache[key](state, jnp.asarray(real))
+                if mesh is not None:
+                    from byogan_tpu.parallel.mesh import shard_batch
+
+                    device_real = shard_batch(jnp.asarray(real), mesh)
+                else:
+                    device_real = jnp.asarray(real)
+                state, metrics = step_cache[key](state, device_real)
 
                 total_iters = int(state.iters)
                 gen_alpha = (int(state.im_count)) / fade_in

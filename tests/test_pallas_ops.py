@@ -1,0 +1,91 @@
+"""Pallas kernel correctness vs the lax reference path (interpret mode on
+CPU; the same kernels compile natively on TPU — exercised by bench/serving).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byogan_tpu.ops.fused import noise_lrelu_adain_lax, pallas_supported
+
+
+def _pallas_interpret(x, noise, w, gamma, beta, eps=1e-8):
+    """Run the TPU kernel in interpreter mode (no TPU needed)."""
+    from byogan_tpu.ops import pallas_adain as pa
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, wd, c = x.shape
+    hw = h * wd
+    out = pl.pallas_call(
+        functools.partial(pa._kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, hw, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec(),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        interpret=True,
+    )(x.reshape(n, hw, c), noise.reshape(n, hw, 1), w.reshape(1, c),
+      gamma.reshape(n, 1, c), beta.reshape(n, 1, c))
+    return out.reshape(n, h, wd, c)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 16), (3, 4, 4, 32)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_adain_kernel_matches_lax(shape, dtype):
+    n, h, w, c = shape
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x = jax.random.normal(k1, shape, dtype)
+    noise = jax.random.normal(k2, (n, h, w, 1), dtype)
+    nw = jax.random.normal(k3, (c,), jnp.float32) * 0.1
+    gamma = 1.0 + 0.1 * jax.random.normal(k4, (n, c), jnp.float32)
+    beta = 0.1 * jax.random.normal(k5, (n, c), jnp.float32)
+
+    want = noise_lrelu_adain_lax(x, noise, nw, gamma.astype(dtype), beta.astype(dtype))
+    got = _pallas_interpret(x, noise, nw, gamma.astype(dtype), beta.astype(dtype))
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=tol, rtol=tol
+    )
+
+
+def test_pallas_supported_gate():
+    assert pallas_supported((4, 64, 64, 128), jnp.bfloat16)
+    assert not pallas_supported((1, 512, 512, 16), jnp.float32)
+
+
+def test_generator_with_pallas_flag_matches(monkeypatch):
+    """use_pallas=True generator output == lax generator (interpret mode)."""
+    from byogan_tpu.ops import fused
+    from byogan_tpu.core.random import synthesis_noise, truncated_noise
+    from byogan_tpu.models import Generator
+
+    # route the pallas dispatch through interpret mode on CPU
+    def fake_pallas(x, noise, w, gamma, beta, eps=1e-8):
+        return _pallas_interpret(x, noise, w, gamma, beta, eps)
+
+    import byogan_tpu.ops.pallas_adain as pa
+
+    monkeypatch.setattr(pa, "noise_lrelu_adain_pallas", fake_pallas)
+
+    channels = ((32, 32), (32, 16))
+    key = jax.random.PRNGKey(1)
+    z = truncated_noise(key, 2, 16)
+    noise = synthesis_noise(key, 2, 2)
+    gen_lax = Generator(channels=channels, style_dim=16, mapping_depth=2)
+    gen_pl = Generator(
+        channels=channels, style_dim=16, mapping_depth=2, use_pallas=True
+    )
+    params = gen_lax.init(key, z, noise, steps=2)
+    a = gen_lax.apply(params, z, noise, steps=2)
+    b = gen_pl.apply(params, z, noise, steps=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

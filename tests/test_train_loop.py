@@ -4,6 +4,8 @@ resume (SURVEY.md §4 integration-test plan), all tiny shapes on CPU."""
 import glob
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -70,3 +72,14 @@ def test_resume_continues(data_root, tmp_path):
     # run adds 4 iters for stage-1 epoch 1 plus stage 2's 8 -> 18 total.
     assert int(state2.iters) == 18
     assert state2.stage == 2
+
+
+def test_train_with_data_parallel_mesh(data_root, tmp_path):
+    """config data_axis=2 makes the loop build a mesh, shard state + batches,
+    and run the whole schedule across the virtual devices."""
+    config = tiny_config(data_root, tmp_path, data_axis=2)
+    state = train(config, max_iters=4)
+    assert int(state.iters) == 4
+    assert np.isfinite(
+        np.asarray(jax.tree.leaves(state.gen_params)[0], np.float32)
+    ).all()

@@ -146,3 +146,22 @@ def test_r1_penalty_matches_torch_reference_gradients():
     )
     got, _ = critic_r1_loss(crit_fn, real_j, fake_j, lam)
     np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+
+def test_donated_step_matches_undonated():
+    """Buffer donation must not change results (SURVEY §5: guard donated-
+    buffer reuse) — run the same sequence with and without donation."""
+    config = small_config()
+    gen, critic, state_a = build(config)
+    _, _, state_b = build(config)  # identical init (same seed)
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 3))
+    kwargs = dict(steps=1, batch=4, fade_in=50.0, critic_fade=(True,), gen_fade=True)
+    donated = make_train_step(gen, critic, config, donate=True, **kwargs)
+    plain = make_train_step(gen, critic, config, donate=False, **kwargs)
+    for _ in range(3):
+        state_a, m_a = donated(state_a, real)
+        state_b, m_b = plain(state_b, real)
+    np.testing.assert_allclose(float(m_a["c_loss"]), float(m_b["c_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["g_loss"]), float(m_b["g_loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.gen_params), jax.tree.leaves(state_b.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
