@@ -35,7 +35,7 @@ def main() -> None:
     from byogan_tpu.train.state import create_train_state
     from byogan_tpu.train.steps import make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    batch = int(os.environ.get("BENCH_BATCH", 128))  # 128 measured fastest
     timed_iters = int(os.environ.get("BENCH_STEPS", 20))
     stage = int(os.environ.get("BENCH_STAGE", 6))  # 6 -> 128x128
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")

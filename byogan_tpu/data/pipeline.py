@@ -204,3 +204,32 @@ def batches_per_epoch(
     if drop_remainder:
         return dataset_len // batch_size
     return -(-dataset_len // batch_size)
+
+
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    Wraps a host-batch iterator: batches are jax.device_put (optionally with
+    a NamedSharding for mesh runs) ``depth`` steps ahead of consumption, so
+    the transfer of batch N+1 rides under the computation of batch N.  (The
+    reference's DataLoader moves tensors inside the train loop per step,
+    train.py:150-156.)
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    try:
+        for item in iterator:
+            if sharding is not None:
+                dev = jax.device_put(item, sharding)
+            else:
+                dev = jax.device_put(item)
+            buf.append(dev)
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+    finally:
+        buf.clear()

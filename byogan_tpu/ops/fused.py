@@ -47,15 +47,20 @@ def noise_lrelu_adain_lax(
     ].astype(x.dtype)
 
 
-# VMEM budget for the single-sample slab in the Pallas kernel (bytes).
-_PALLAS_VMEM_SLAB_LIMIT = 8 * 1024 * 1024
-
-
 def pallas_supported(shape, dtype) -> bool:
+    """Shapes where the single-pass kernel beats XLA's fusion.
+
+    Measured on v5e (benchmarks/bench_pallas.py, bf16):
+      (64,32,32,256)  1.30x    (64,64,64,128)  1.75x
+      (64,128,128,64) 0.38x    (256px+ slabs)  compile/VMEM trouble
+    The per-sample whole-slab strategy wins while the (H*W, C) slab is small
+    enough to live in VMEM with headroom (<= 64x64 spatial); above that XLA's
+    tiled reduction is faster and the dispatcher falls back to lax.  A
+    spatially-tiled two-pass kernel for big slabs is future work.
+    """
+    del dtype
     n, h, w, c = shape
-    itemsize = jnp.dtype(dtype).itemsize
-    # input + f32 intermediate comfortably in ~16MB VMEM
-    return (h * w * c) * (itemsize + 4) <= _PALLAS_VMEM_SLAB_LIMIT
+    return h * w <= 4096 and c >= 8
 
 
 def noise_lrelu_adain(

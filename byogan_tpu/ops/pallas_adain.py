@@ -34,15 +34,22 @@ def _kernel(x_ref, noise_ref, w_ref, gamma_ref, beta_ref, out_ref, *, eps):
     # LeakyReLU(0.2) as max(h, 0.2h) — identical for slope < 1, and avoids a
     # bf16 compare Mosaic's VPU lowering rejects.
     h = jnp.maximum(h, jnp.asarray(0.2, h.dtype) * h)
+    # One-pass statistics (sum / sum-of-squares) and a single fused affine:
+    #   out = (gamma*inv) * h + (beta - gamma*inv*mean)
+    # keeps VMEM to {x, h, out} + (1,C) rows — a centered-buffer formulation
+    # blows the scoped-vmem budget at 128px slabs.
     h32 = h.astype(jnp.float32)
     hw = h32.shape[0]
-    mean = jnp.sum(h32, axis=0, keepdims=True) / hw  # (1, C)
-    centered = h32 - mean
-    var = jnp.sum(centered * centered, axis=0, keepdims=True) / hw
-    norm = centered * jax.lax.rsqrt(var + eps)
+    s1 = jnp.sum(h32, axis=0, keepdims=True)  # (1, C)
+    s2 = jnp.sum(h32 * h32, axis=0, keepdims=True)
+    mean = s1 / hw
+    var = jnp.maximum(s2 / hw - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
     gamma = gamma_ref[0].astype(jnp.float32)  # (1, C)
     beta = beta_ref[0].astype(jnp.float32)  # (1, C)
-    out_ref[0] = (gamma * norm + beta).astype(out_ref.dtype)
+    scale = gamma * inv
+    shift = beta - scale * mean
+    out_ref[0] = (scale * h32 + shift).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
@@ -81,6 +88,9 @@ def noise_lrelu_adain_pallas(
             flops=9 * n * hw * c,
             bytes_accessed=2 * n * hw * c * x.dtype.itemsize,
             transcendentals=n * c,  # rsqrt
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(x2, noise2, w2, gamma3, beta3)
     return out.reshape(n, h, w, c)

@@ -36,6 +36,7 @@ from byogan_tpu.core.random import truncated_noise
 from byogan_tpu.data.pipeline import (
     StageDataset,
     batches_per_epoch,
+    device_prefetch,
     make_stage_loader,
 )
 from byogan_tpu.models import Critic, Generator
@@ -171,6 +172,15 @@ def train(
                 seed=config.seed * 100003 + steps * 1009 + epoch,
                 workers=config.num_workers,
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sharding = NamedSharding(
+                    mesh, PartitionSpec("data", None, None, None)
+                )
+            else:
+                batch_sharding = None
+            loader = device_prefetch(loader, sharding=batch_sharding)
             for real in loader:
                 im_count = int(state.im_count)
                 repeats = config.critic_repeats
@@ -192,13 +202,7 @@ def train(
                         critic_fade=critic_fade,
                         gen_fade=gen_fade,
                     )
-                if mesh is not None:
-                    from byogan_tpu.parallel.mesh import shard_batch
-
-                    device_real = shard_batch(jnp.asarray(real), mesh)
-                else:
-                    device_real = jnp.asarray(real)
-                state, metrics = step_cache[key](state, device_real)
+                state, metrics = step_cache[key](state, real)
 
                 total_iters = int(state.iters)
                 gen_alpha = (int(state.im_count)) / fade_in

@@ -93,3 +93,30 @@ def test_train_cli_reads_reference_config(tmp_path, monkeypatch):
     assert captured["config"].learning_rate == 0.002
     assert captured["config"].data == "/nonexistent"
     assert captured["checkpoint"] == "some.pth"
+
+
+def test_export_cli_requires_reference_shape(small_ckpt, tmp_path):
+    """Scaled architectures have no torch counterpart -> clean error."""
+    from byogan_tpu.cli import export
+
+    with pytest.raises(SystemExit, match="not the reference shape"):
+        export.main([small_ckpt, str(tmp_path / "out.pth")])
+
+
+def test_export_cli_full_size(tmp_path):
+    torch = pytest.importorskip("torch")
+    from byogan_tpu.cli import export
+    from byogan_tpu.models.factory import ModelSpec, build_critic, build_generator
+
+    spec = ModelSpec()  # reference shape
+    config = small_config(noise_size=512)
+    gen, critic = build_generator(spec), build_critic(spec)
+    state = create_train_state(config, gen, critic)
+    state = state.replace(iters=jnp.int32(5), stage=1)
+    ckpt = save_checkpoint(str(tmp_path), state, alpha=0.25, model_spec=spec)
+
+    out = str(tmp_path / "chk-5.pth")
+    export.main([ckpt, out])
+    save = torch.load(out, weights_only=False)
+    assert save["step"] == 1 and save["alpha"] == 0.25
+    assert "module.to_w_noise.0.layers.0.0.weight" in save["gen"]

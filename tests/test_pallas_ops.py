@@ -60,6 +60,9 @@ def test_fused_adain_kernel_matches_lax(shape, dtype):
 
 def test_pallas_supported_gate():
     assert pallas_supported((4, 64, 64, 128), jnp.bfloat16)
+    assert pallas_supported((64, 32, 32, 256), jnp.bfloat16)
+    # measured-loss / VMEM-trouble shapes fall back to lax
+    assert not pallas_supported((64, 128, 128, 64), jnp.bfloat16)
     assert not pallas_supported((1, 512, 512, 16), jnp.float32)
 
 

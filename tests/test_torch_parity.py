@@ -183,3 +183,23 @@ def test_converted_tree_matches_init_structure(ref_modules):
     assert jax.tree.map(lambda s: s.shape, crit_shapes) == jax.tree.map(
         lambda a: a.shape, cconverted
     )
+
+
+@requires_reference
+def test_generator_512px_full_depth_parity(ref_modules):
+    """BASELINE.md fidelity target: 512x512 samples from a converted
+    checkpoint match the PyTorch reference pixel-wise (steps=8, full depth,
+    post-fade)."""
+    gan, ref_gen, _ = ref_modules
+    torch.manual_seed(99)
+    z = torch.randn(1, 512)
+    noise_t = [torch.randn(1, 1, 4 * 2**i, 4 * 2**i) for i in range(8)]
+    with torch.no_grad():
+        want = ref_gen.forward(z, noise=noise_t, steps=8, alpha=None)
+
+    params = {"params": generator_params_from_torch(ref_gen.state_dict())}
+    gen = Generator()
+    noise_j = [jnp.asarray(to_nhwc(n)) for n in noise_t]
+    got = gen.apply(params, jnp.asarray(z.numpy()), noise_j, steps=8, alpha=None)
+    assert got.shape == (1, 512, 512, 3)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=5e-4, atol=5e-4)
