@@ -92,3 +92,55 @@ def test_generator_with_pallas_flag_matches(monkeypatch):
     a = gen_lax.apply(params, z, noise, steps=2)
     b = gen_pl.apply(params, z, noise, steps=2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_styleconv_kernel_matches_lax_composition():
+    """Fused conv3x3+epilogue kernel vs conv + lax epilogue (interpret)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from byogan_tpu.ops import pallas_styleconv as sc
+    from byogan_tpu.ops.fused import noise_lrelu_adain_lax
+
+    n, h, w, cin, cout = 2, 8, 8, 16, 24
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(ks[0], (n, h, w, cin))
+    weight = jax.random.normal(ks[1], (3, 3, cin, cout)) * 0.1
+    bias = jax.random.normal(ks[2], (cout,)) * 0.1
+    noise = jax.random.normal(ks[3], (n, h, w, 1))
+    nw = jax.random.normal(ks[4], (cout,)) * 0.1
+    gamma = 1 + 0.1 * jax.random.normal(ks[5], (n, cout))
+    beta = 0.1 * jax.random.normal(ks[6], (n, cout))
+
+    conv = jax.lax.conv_general_dilated(
+        x, weight, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    want = noise_lrelu_adain_lax(conv + bias, noise, nw, gamma, beta)
+
+    got = pl.pallas_call(
+        functools.partial(sc._kernel, eps=1e-8),
+        out_shape=jax.ShapeDtypeStruct((n, h * w, cout), x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(),
+            pl.BlockSpec(),
+            pl.BlockSpec((1, h * w, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec(),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, cout), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, cin), x.dtype),
+            pltpu.VMEM((h * w, cout), jnp.float32),
+        ],
+        interpret=True,
+    )(
+        x, weight, bias.reshape(1, cout), noise.reshape(n, h * w, 1),
+        nw.reshape(1, cout), gamma.reshape(n, 1, cout), beta.reshape(n, 1, cout),
+    ).reshape(n, h, w, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
