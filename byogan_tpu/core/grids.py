@@ -47,11 +47,21 @@ def to_uint8(image: np.ndarray) -> np.ndarray:
     )
 
 
-def save_image(image: np.ndarray, path: str) -> None:
-    """Save one HWC float image as PNG (torchvision ``save_image`` parity)."""
+def save_image(image: np.ndarray, path: str, compression: int = 6) -> None:
+    """Save one HWC float image as PNG (torchvision ``save_image`` pixel
+    parity; encoded natively when the IO library is built, PIL otherwise).
+
+    ``compression``: zlib level — pass 1 for serving-throughput encodes.
+    """
+    u8 = to_uint8(image)
+    if path.lower().endswith(".png"):
+        from byogan_tpu.data.native import encode_png
+
+        if encode_png(path, u8, compression):
+            return
     from PIL import Image
 
-    Image.fromarray(to_uint8(image)).save(path)
+    Image.fromarray(u8).save(path)
 
 
 def save_image_grid(

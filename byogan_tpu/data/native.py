@@ -50,6 +50,12 @@ def load_library():
                 ctypes.POINTER(ctypes.c_float),
             ]
             lib.byogan_normalize.restype = None
+            lib.byogan_encode_png.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.byogan_encode_png.restype = ctypes.c_int
             assert lib.byogan_abi_version() == 1
             _lib = lib
             return lib
@@ -95,6 +101,21 @@ def decode_batch(
     if rc != 0:
         raise OSError(f"native batch decode failed ({rc})")
     return out
+
+
+def encode_png(path: str, image: np.ndarray, compression: int = 6) -> bool:
+    """Write an HWC RGB uint8 PNG natively; False if lib unavailable."""
+    lib = load_library()
+    if lib is None:
+        return False
+    image = np.ascontiguousarray(image)
+    assert image.dtype == np.uint8 and image.ndim == 3 and image.shape[2] == 3
+    rc = lib.byogan_encode_png(
+        path.encode(), _u8ptr(image), image.shape[0], image.shape[1], compression
+    )
+    if rc != 0:
+        raise OSError(f"native png encode failed ({rc}): {path}")
+    return True
 
 
 def normalize_batch(

@@ -42,8 +42,13 @@ class StageDataset:
         root: str,
         stage: int,
         cache_limit_bytes: int = 1 << 30,
+        derive_shift: int = 0,
     ):
+        """``derive_shift=k`` reads set_{stage} files but box-downsamples each
+        decoded image by 2^k — the single-multi-res-source mode (SURVEY §7
+        step 5): one high-resolution set on disk serves every lower stage."""
         self.set_dir = os.path.join(root, "prepared", f"set_{stage}")
+        self.derive_shift = derive_shift
         if not os.path.isdir(self.set_dir):
             raise OSError(
                 f"Did not detect prepared dataset! (missing {self.set_dir})"
@@ -65,12 +70,14 @@ class StageDataset:
         from byogan_tpu.data import native
 
         img = native.decode_image(path)
-        if img is not None:
-            return img
-        from PIL import Image
+        if img is None:
+            from PIL import Image
 
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            with Image.open(path) as im:
+                img = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        if self.derive_shift:
+            img = _box_downsample_u8(img, self.derive_shift)
+        return img
 
     def maybe_cache(self, workers: int = 8) -> bool:
         """Decode everything into one uint8 NHWC array if under budget."""
@@ -97,12 +104,14 @@ class StageDataset:
         from byogan_tpu.data import native
 
         probe = self._decode(self.files[int(indices[0])])
-        batch = native.decode_batch(
-            [self.files[int(i)] for i in indices],
-            probe.shape[0],
-            probe.shape[1],
-            threads=workers,
-        )
+        batch = None
+        if not self.derive_shift:
+            batch = native.decode_batch(
+                [self.files[int(i)] for i in indices],
+                probe.shape[0],
+                probe.shape[1],
+                threads=workers,
+            )
         if batch is not None:
             return batch
         out = np.empty((len(indices),) + probe.shape, np.uint8)
@@ -113,6 +122,44 @@ class StageDataset:
             ):
                 out[j + 1] = img
         return out
+
+
+def _box_downsample_u8(img: np.ndarray, shift: int) -> np.ndarray:
+    """Exact 2^shift box-filter downsample of an HWC uint8 image."""
+    h, w, c = img.shape
+    f = 1 << shift
+    out = (
+        img.astype(np.uint32)
+        .reshape(h // f, f, w // f, f, c)
+        .sum(axis=(1, 3))
+    )
+    return ((out + (f * f) // 2) // (f * f)).astype(np.uint8)
+
+
+def open_stage_dataset(
+    root: str,
+    stage: int,
+    cache_limit_bytes: int = 1 << 30,
+    allow_derived: bool = True,
+) -> StageDataset:
+    """Open set_{stage}, or derive it from the next available higher set.
+
+    Lets a dataset prepared with only its top resolution (or sparse sets)
+    train every stage — the reference requires all 8 disk copies
+    (train.py:109-110).
+    """
+    direct = os.path.join(root, "prepared", f"set_{stage}")
+    if os.path.isdir(direct) or not allow_derived:
+        return StageDataset(root, stage, cache_limit_bytes)
+    prepared = os.path.join(root, "prepared")
+    if os.path.isdir(prepared):
+        for higher in range(stage + 1, 16):
+            if os.path.isdir(os.path.join(prepared, f"set_{higher}")):
+                return StageDataset(
+                    root, higher, cache_limit_bytes,
+                    derive_shift=higher - stage,
+                )
+    raise OSError(f"Did not detect prepared dataset! (missing {direct})")
 
 
 def _normalize(batch_u8: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:

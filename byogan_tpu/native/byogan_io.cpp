@@ -215,6 +215,39 @@ int byogan_decode_batch_normalize(const char** paths, int n, int h, int w,
   return 0;
 }
 
+// Encode an RGB uint8 HWC image as PNG.  `compression` is zlib level 0-9
+// (PIL defaults to 6; level 1 is ~10x faster at ~15% larger files — the
+// right trade for the serving path, byogan_tpu/serve.py).
+int byogan_encode_png(const char* path, const uint8_t* data, int h, int w,
+                      int compression) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) { fclose(fp); return -3; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_write_struct(&png, nullptr); fclose(fp); return -3; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -4;
+  }
+  png_init_io(png, fp);
+  png_set_compression_level(png, compression);
+  // Speed-oriented filter heuristic: SUB only (cheap, compresses photos well).
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int y = 0; y < h; y++) {
+    png_write_row(png, const_cast<png_bytep>(data + (size_t)y * w * 3));
+  }
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
 int byogan_abi_version() { return 1; }
 
 }  // extern "C"

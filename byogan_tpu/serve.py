@@ -1,0 +1,165 @@
+"""Batched sampling service — the production serving path.
+
+The reference's only inference surface is a one-image-at-a-time CLI loop
+(generate_samples.py:54-59).  ``Sampler`` is the library/serving equivalent,
+TPU-shaped:
+
+  * ONE precompiled synthesis program per (batch, steps) bucket — fresh
+    latents and per-stage noise are drawn on device, so a request is a single
+    device dispatch;
+  * requests of any size are served by tiling the compiled batch (ragged
+    tails padded, never recompiled);
+  * optional data-parallel mesh: the batch shards over the ``data`` axis and
+    XLA splits synthesis across chips;
+  * outputs are returned as uint8 HWC frames (save_image rounding) ready for
+    encoding, and ``save_stream`` overlaps PNG encoding with device compute.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from byogan_tpu.core.random import synthesis_noise, truncated_noise
+from byogan_tpu.models.factory import ModelSpec, build_generator
+from byogan_tpu.train.checkpoint import load_checkpoint
+
+
+def _save_u8(frame: np.ndarray, path: str) -> None:
+    """Encode an already-quantized uint8 HWC frame (fast zlib level)."""
+    from byogan_tpu.data.native import encode_png
+
+    if encode_png(path, frame, compression=1):
+        return
+    from PIL import Image
+
+    Image.fromarray(frame).save(path)
+
+
+class Sampler:
+    def __init__(
+        self,
+        checkpoint: str,
+        batch: int = 32,
+        z_dim: int = 512,
+        truncation: float = 0.75,
+        dtype: str = "bfloat16",
+        mesh=None,
+        seed: Optional[int] = None,
+    ):
+        save = load_checkpoint(checkpoint)
+        self.steps: int = save["step"]
+        self.alpha = save["alpha"]
+        self.batch = batch
+        self.z_dim = z_dim
+        self.truncation = truncation
+        spec = ModelSpec.from_dict(save.get("model"))
+        model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
+        self._gen = build_generator(spec, dtype=model_dtype)
+        self._params = {"params": save["gen_params"]}
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self._params = jax.device_put(self._params, replicated)
+        self._key = jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little") if seed is None else seed
+        )
+
+        gen, steps, alpha = self._gen, self.steps, self.alpha
+        compute_dtype = model_dtype or jnp.float32
+
+        def synth(params, key):
+            kz, kn = jax.random.split(key)
+            z = truncated_noise(kz, batch, z_dim, truncation, compute_dtype)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                z = jax.lax.with_sharding_constraint(
+                    z, NamedSharding(mesh, P("data", None))
+                )
+            noise = synthesis_noise(kn, batch, steps, dtype=compute_dtype)
+            img = gen.apply(
+                params, z, noise, steps=steps,
+                alpha=None if alpha is None else jnp.float32(alpha),
+            )
+            # Quantize ON DEVICE (torchvision save_image rounding, identical
+            # to core.grids.to_uint8): a uint8 frame is 4x less device->host
+            # traffic than float32 — the fetch, not the compute, bounds
+            # serving throughput on bandwidth-limited hosts.
+            img32 = img.astype(jnp.float32)
+            return jnp.clip(img32 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+        self._synth = jax.jit(synth)
+
+    @property
+    def resolution(self) -> int:
+        return 4 * 2 ** (self.steps - 1)
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample_batches(self, n: int) -> Iterator[np.ndarray]:
+        """Yield uint8 NHWC batches (device-quantized) until n produced;
+        the next batch's synthesis is dispatched before the current fetch."""
+        produced = 0
+        pending = self._synth(self._params, self._next_key())
+        while produced < n:
+            take = min(self.batch, n - produced)
+            produced += take
+            nxt = (
+                self._synth(self._params, self._next_key())
+                if produced < n
+                else None
+            )
+            yield np.asarray(pending[:take])
+            pending = nxt
+
+    def sample(self, n: int) -> np.ndarray:
+        """n uint8 HWC frames (save_image rounding — SURVEY §3.2 range note)."""
+        return np.concatenate(list(self.sample_batches(n)), axis=0)
+
+    def save_stream(
+        self, directory: str, n: int, prefix: str = "image_"
+    ) -> int:
+        """Write n PNGs, overlapping encode (host) with synthesis (device)."""
+        os.makedirs(directory, exist_ok=True)
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        _DONE = object()
+        error: list = []
+
+        def writer():
+            idx = 0
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    return
+                try:
+                    for frame in item:  # frames arrive uint8 from the device
+                        idx += 1
+                        _save_u8(
+                            frame, os.path.join(directory, f"{prefix}{idx}.png")
+                        )
+                except Exception as e:  # surface encode errors to the caller
+                    error.append(e)
+                    return
+
+        thread = threading.Thread(target=writer, daemon=True)
+        thread.start()
+        written = 0
+        for batch in self.sample_batches(n):
+            q.put(batch)
+            written += len(batch)
+        q.put(_DONE)
+        thread.join()
+        if error:
+            raise error[0]
+        return written

@@ -34,10 +34,10 @@ import numpy as np
 from byogan_tpu.core.grids import display_image
 from byogan_tpu.core.random import truncated_noise
 from byogan_tpu.data.pipeline import (
-    StageDataset,
     batches_per_epoch,
     device_prefetch,
     make_stage_loader,
+    open_stage_dataset,
 )
 from byogan_tpu.models import Critic, Generator
 from byogan_tpu.train.checkpoint import (
@@ -143,7 +143,7 @@ def train(
         batch = config.stage_batch(index)
         stage_epochs = config.stage_epochs(index)
 
-        dataset = StageDataset(config.data, steps)
+        dataset = open_stage_dataset(config.data, steps)
         n_batches = batches_per_epoch(len(dataset), batch)
         if n_batches == 0:
             raise ValueError(

@@ -80,3 +80,33 @@ def test_loader_cache_consistency(prepared):
 def test_missing_dataset_raises(tmp_path):
     with pytest.raises(OSError, match="Did not detect prepared dataset"):
         StageDataset(str(tmp_path), 1)
+
+
+def test_derived_stage_dataset(prepared, tmp_path):
+    """A stage whose set is missing derives from the next higher set by exact
+    box downsampling (single multi-res source mode)."""
+    import shutil
+
+    from byogan_tpu.data.pipeline import open_stage_dataset
+
+    root = str(tmp_path / "derived")
+    shutil.copytree(prepared, root)
+    shutil.rmtree(os.path.join(root, "prepared", "set_1"))
+
+    direct = StageDataset(prepared, 1)
+    derived = open_stage_dataset(root, 1)
+    assert derived.derive_shift == 1
+    idx = np.arange(len(direct))
+    d = derived.get_batch_uint8(idx)
+    assert d.shape == direct.get_batch_uint8(idx).shape
+    # derived pixels equal the box-downsampled set_2 pixels
+    src = StageDataset(root, 2).get_batch_uint8(idx).astype(np.uint32)
+    want = (src.reshape(-1, 4, 2, 4, 2, 3).sum(axis=(2, 4)) + 2) // 4
+    np.testing.assert_array_equal(d, want.astype(np.uint8))
+
+
+def test_open_stage_dataset_prefers_direct(prepared):
+    from byogan_tpu.data.pipeline import open_stage_dataset
+
+    ds = open_stage_dataset(prepared, 2)
+    assert ds.derive_shift == 0

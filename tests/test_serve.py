@@ -1,0 +1,57 @@
+"""Serving API: precompiled batched sampling, streaming PNG writer, mesh."""
+
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from byogan_tpu.serve import Sampler
+from byogan_tpu.train.checkpoint import save_checkpoint
+from byogan_tpu.train.state import create_train_state
+from tests.test_train_step import small_config
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from byogan_tpu.models.factory import ModelSpec, build_critic, build_generator
+
+    spec = ModelSpec(num_stages=3, channel_divisor=16, mapping_depth=2)
+    config = small_config()
+    state = create_train_state(config, build_generator(spec), build_critic(spec))
+    state = state.replace(iters=jnp.int32(1), stage=3)
+    return save_checkpoint(
+        str(tmp_path_factory.mktemp("serve")), state, alpha=None, model_spec=spec
+    )
+
+
+def test_sampler_shapes_and_tiling(ckpt):
+    s = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=0)
+    assert s.resolution == 16
+    out = s.sample(6)  # ragged: 2 compiled batches, tail trimmed
+    assert out.shape == (6, 16, 16, 3)
+    assert out.dtype == np.uint8
+
+
+def test_sampler_stream_writer(ckpt, tmp_path):
+    s = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=1)
+    n = s.save_stream(str(tmp_path / "out"), 5)
+    assert n == 5
+    files = sorted(glob.glob(str(tmp_path / "out" / "image_*.png")))
+    assert len(files) == 5
+
+
+def test_sampler_deterministic_given_seed(ckpt):
+    a = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=7).sample(4)
+    b = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=7).sample(4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sampler_on_mesh(ckpt):
+    from byogan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=1)
+    s = Sampler(ckpt, batch=8, z_dim=32, dtype="float32", mesh=mesh, seed=2)
+    out = s.sample(8)
+    assert out.shape == (8, 16, 16, 3)
