@@ -21,6 +21,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     )
     try:
         backend = jax.default_backend()
+        if backend == "cpu":
+            # CPU compiles are fast, and XLA:CPU AOT reload emits noisy
+            # machine-feature warnings (prefer-no-scatter/gather pseudo
+            # features differ between AOT and JIT paths) — skip the cache.
+            return
         scoped = os.path.join(base, backend)
         os.makedirs(scoped, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", scoped)

@@ -222,6 +222,9 @@ def make_stage_loader(
                     )
                     q.put(_normalize(batch_u8, flips))
                 epoch += 1
+        except BaseException as e:  # surface IO errors to the consumer —
+            # a swallowed decode failure would silently truncate the epoch
+            q.put(e)
         finally:
             q.put(_SENTINEL)
 
@@ -232,6 +235,8 @@ def make_stage_loader(
             item = q.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

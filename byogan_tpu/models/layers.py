@@ -25,17 +25,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from byogan_tpu.core.resize import upsample2x_bilinear
+from byogan_tpu.ops.fused import leaky_relu, noise_lrelu_adain  # noqa: F401
+# (leaky_relu lives in ops.fused — the single definition of the reference's
+# sole activation, gan.py:86 etc.)
 
 Dtype = Any
 
 
 def _maybe_cast(x: jax.Array, dtype: Optional[Dtype]) -> jax.Array:
     return x if dtype is None else x.astype(dtype)
-
-
-def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
-    """LeakyReLU(0.2) — the sole activation in the reference (gan.py:86 etc)."""
-    return jnp.where(x >= 0, x, negative_slope * x)
 
 
 class EqualizedDense(nn.Module):
@@ -235,8 +233,6 @@ class StyleConvBlock(nn.Module):
     def __call__(
         self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
     ) -> jax.Array:
-        from byogan_tpu.ops.fused import noise_lrelu_adain
-
         batch = style.shape[0]
         if self.is_initial:
             out = jnp.broadcast_to(

@@ -24,7 +24,7 @@ def build(force: bool = False, quiet: bool = False) -> str:
     ):
         return LIBRARY
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
         SOURCE, "-o", LIBRARY, "-lpng", "-ljpeg", "-lz", "-lpthread",
     ]
     if not quiet:

@@ -60,11 +60,20 @@ static int decode_png(const char* path, uint8_t* out, int* h, int* w) {
   if (depth == 16) png_set_strip_16(png);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  bool trns = png_get_valid(png, info, PNG_INFO_tRNS);
+  if (trns) png_set_tRNS_to_alpha(png);
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
-  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // Strip alpha BOTH when the original color type carried it AND when the
+  // tRNS conversion above just added it (palette/gray/RGB + transparency) —
+  // otherwise 4-channel rows would overflow the 3-channel output buffer.
+  if ((color & PNG_COLOR_MASK_ALPHA) || trns) png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  if (png_get_channels(png, info) != 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return -6;  // defensive: never write non-RGB rows into the RGB buffer
+  }
 
   if (out) {
     std::vector<png_bytep> rows(*h);

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    """LeakyReLU(0.2) — the reference's sole activation (gan.py:86 etc)."""
     return jnp.where(x >= 0, x, negative_slope * x)
 
 

@@ -142,6 +142,8 @@ class Sampler:
                 item = q.get()
                 if item is _DONE:
                     return
+                if error:
+                    continue  # keep draining so the producer never blocks
                 try:
                     for frame in item:  # frames arrive uint8 from the device
                         idx += 1
@@ -150,7 +152,6 @@ class Sampler:
                         )
                 except Exception as e:  # surface encode errors to the caller
                     error.append(e)
-                    return
 
         thread = threading.Thread(target=writer, daemon=True)
         thread.start()

@@ -72,8 +72,11 @@ def build_models(config: TrainConfig) -> Tuple[Generator, Critic]:
 
     dtype = _model_dtype(config)
     spec = model_spec(config)
+    # NOTE: the Pallas epilogue is forward-only (no custom VJP yet; see
+    # ops/fused.py) — the training generator always uses the lax path.
+    # ``use_pallas`` applies to inference surfaces (serve.Sampler).
     return (
-        build_generator(spec, dtype=dtype, use_pallas=config.use_pallas),
+        build_generator(spec, dtype=dtype, use_pallas=False),
         build_critic(spec, dtype=dtype),
     )
 
@@ -115,6 +118,18 @@ def train(
     if mesh is not None:
         from byogan_tpu.parallel.mesh import shard_train_state
 
+        data_size = mesh.shape.get("data", 1)
+        bad = [
+            (i + 1, b)
+            for i, b in enumerate(config.batch_progression[: config.num_stages])
+            if b % data_size != 0
+        ]
+        if bad:
+            raise ValueError(
+                f"batch_progression entries {bad} (stage, batch) are not "
+                f"divisible by the data-parallel axis ({data_size}); fix the "
+                "config now rather than crashing mid-run at that stage"
+            )
         state = shard_train_state(state, mesh)
         print(f"mesh: {dict(mesh.shape)}")
 
@@ -157,6 +172,10 @@ def train(
         if not resume_mid_stage:
             state = state.replace(im_count=jnp.int32(0))  # train.py:108
         state = state.replace(stage=steps)
+        # im_count is tracked host-side (it advances deterministically by
+        # critic_repeats*batch per iteration) so the hot loop never blocks on
+        # a device readback; one fetch only when resuming mid-stage.
+        host_im_count = int(state.im_count) if resume_mid_stage else 0
 
         print(f"STARTING STEP #{steps}")
 
@@ -181,14 +200,15 @@ def train(
             else:
                 batch_sharding = None
             loader = device_prefetch(loader, sharding=batch_sharding)
+            c_hist: list = []
+            g_hist: list = []
             for real in loader:
-                im_count = int(state.im_count)
                 repeats = config.critic_repeats
                 critic_fade = tuple(
-                    (im_count + r * batch) / fade_in <= 1.0
+                    (host_im_count + r * batch) / fade_in <= 1.0
                     for r in range(repeats)
                 )
-                gen_fade = (im_count + repeats * batch) / fade_in <= 1.0
+                gen_fade = (host_im_count + repeats * batch) / fade_in <= 1.0
 
                 key = (steps, batch, critic_fade, gen_fade)
                 if key not in step_cache:
@@ -204,18 +224,30 @@ def train(
                     )
                 state, metrics = step_cache[key](state, real)
 
-                total_iters = int(state.iters)
-                gen_alpha = (int(state.im_count)) / fade_in
+                # Host-side mirrors of the device counters — no readbacks in
+                # the hot loop (a scalar fetch costs ~25ms on the tunneled
+                # backend; see CLAUDE.md).
+                total_iters += 1
+                host_im_count += repeats * batch
+                gen_alpha = host_im_count / fade_in
                 alpha_for_ckpt = None if gen_alpha > 1.0 else gen_alpha
 
-                logger.log_step(
-                    total_iters,
-                    float(metrics["c_loss"]),
-                    float(metrics["g_loss"]),
-                    epoch,
-                    steps,
-                    batch,
-                )
+                # Metrics stay on device; fetched (one stacked transfer) only
+                # at the reference's refresh cadence (train.py:223-234).
+                c_hist.append(metrics["c_loss"])
+                g_hist.append(metrics["g_loss"])
+                k = config.refresh_stat_step
+                if total_iters % k == 0:
+                    c_hist, g_hist = c_hist[-k:], g_hist[-k:]
+                    logger.log_step(
+                        total_iters,
+                        float(jnp.stack(c_hist).mean()),
+                        float(jnp.stack(g_hist).mean()),
+                        epoch,
+                        steps,
+                        batch,
+                    )
+                    c_hist, g_hist = [], []
 
                 if total_iters > 0 and total_iters % config.display_step == 0:
                     _save_sample_grid(

@@ -43,38 +43,38 @@ class MetricsLogger:
         batch: int,
         extra: Optional[Dict[str, float]] = None,
     ) -> None:
-        self.c_loss_history.append(float(c_loss))
-        self.g_loss_history.append(float(g_loss))
-        k = self.refresh_stat_step
-        if iters > 0 and iters % k == 0:
-            now = time.perf_counter()
-            imgs_per_sec = (
-                (iters - self._last_iters) * batch / (now - self._last_time)
-                if now > self._last_time
-                else 0.0
-            )
-            self._last_time, self._last_iters = now, iters
-            avg_c = sum(self.c_loss_history[-k:]) / k
-            avg_g = sum(self.g_loss_history[-k:]) / k
-            # Same readout fields as the reference's pbar (train.py:231-234).
-            self._print(
-                f"step {stage} iter {iters}  g_loss: {avg_g:.3}  "
-                f"c_loss: {avg_c:.3}  epoch: {epoch + 1}  "
-                f"({imgs_per_sec:.1f} img/s)"
-            )
-            if self._jsonl:
-                rec = {
-                    "iter": iters,
-                    "stage": stage,
-                    "epoch": epoch,
-                    "c_loss": avg_c,
-                    "g_loss": avg_g,
-                    "images_per_sec": imgs_per_sec,
-                }
-                if extra:
-                    rec.update(extra)
-                self._jsonl.write(json.dumps(rec) + "\n")
-                self._jsonl.flush()
+        """Record one readout.  The caller invokes this at the refresh cadence
+        with ALREADY-AVERAGED window losses (the train loop keeps the window
+        on device and fetches it in one transfer — train/loop.py)."""
+        avg_c, avg_g = float(c_loss), float(g_loss)
+        self.c_loss_history.append(avg_c)
+        self.g_loss_history.append(avg_g)
+        now = time.perf_counter()
+        imgs_per_sec = (
+            (iters - self._last_iters) * batch / (now - self._last_time)
+            if now > self._last_time and iters > self._last_iters
+            else 0.0
+        )
+        self._last_time, self._last_iters = now, iters
+        # Same readout fields as the reference's pbar (train.py:231-234).
+        self._print(
+            f"step {stage} iter {iters}  g_loss: {avg_g:.3}  "
+            f"c_loss: {avg_c:.3}  epoch: {epoch + 1}  "
+            f"({imgs_per_sec:.1f} img/s)"
+        )
+        if self._jsonl:
+            rec = {
+                "iter": iters,
+                "stage": stage,
+                "epoch": epoch,
+                "c_loss": avg_c,
+                "g_loss": avg_g,
+                "images_per_sec": imgs_per_sec,
+            }
+            if extra:
+                rec.update(extra)
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
 
     def close(self) -> None:
         if self._jsonl:

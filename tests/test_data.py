@@ -110,3 +110,20 @@ def test_open_stage_dataset_prefers_direct(prepared):
 
     ds = open_stage_dataset(prepared, 2)
     assert ds.derive_shift == 0
+
+
+def test_loader_propagates_decode_errors(prepared, tmp_path):
+    """A corrupt image must raise in the consumer, not silently truncate the
+    epoch."""
+    import shutil
+
+    from byogan_tpu.data.pipeline import make_stage_loader
+
+    root = str(tmp_path / "corrupt")
+    shutil.copytree(prepared, root)
+    victim = os.path.join(root, "prepared", "set_1", "images", "image-3.png")
+    with open(victim, "wb") as f:
+        f.write(b"garbage, not a png")
+    ds = StageDataset(root, 1, cache_limit_bytes=0)  # force per-batch decode
+    with pytest.raises(Exception):
+        list(make_stage_loader(ds, batch_size=5, seed=0, epochs=1, cache=False))

@@ -88,3 +88,21 @@ def test_decode_error_raises(tmp_path):
         f.write(b"not a png at all")
     with pytest.raises(OSError):
         native.decode_image(bad)
+
+
+def test_transparent_palette_png_decodes_to_rgb(tmp_path):
+    """Palette/gray PNGs with a tRNS chunk must come out 3-channel (the tRNS
+    -> alpha conversion adds a 4th channel that MUST be stripped; unstripped
+    it overflows the RGB output buffer)."""
+    from PIL import Image
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rgb = np.dstack([g, g[::-1], g])
+    pal = Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE)
+    pal.info["transparency"] = 0
+    p = str(tmp_path / "pal_trns.png")
+    pal.save(p, transparency=0)
+    got = native.decode_image(p)
+    assert got is not None and got.shape == (8, 8, 3)
+    want = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(got, want)
