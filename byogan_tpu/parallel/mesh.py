@@ -17,7 +17,12 @@ activation all-gathers over the model axis) and lays them on ICI.
     by default (model_axis=1).
 
 Multi-host: ``jax.distributed.initialize()`` + the same mesh over
-``jax.devices()`` — no transport code here at all, by design.
+``jax.devices()`` — no transport code here at all, by design.  The data
+loader is seeded identically on every host (train/loop.py), so each process
+materializes the same global batch and ``jax.device_put`` with the batch
+sharding keeps only the addressable shards — correct, at the cost of
+redundant host-side decode (per-host dataset sharding is a future
+optimization).
 """
 
 from __future__ import annotations
