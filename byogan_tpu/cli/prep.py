@@ -31,6 +31,11 @@ def main(argv=None):
         help="overwrite existing sets without prompting",
     )
     parser.add_argument("-w", "--workers", default=8, type=int)
+    parser.add_argument(
+        "--pack", action="store_true",
+        help="also pack each set into a zero-decode packed.npy memmap "
+        "(fastest training data path)",
+    )
     args = parser.parse_args(argv)
 
     if args.yes:
@@ -52,6 +57,12 @@ def main(argv=None):
         overwrite=overwrite,
         progress=progress,
     )
+    if args.pack:
+        from byogan_tpu.data.pipeline import pack_stage
+
+        for k in range(1, len(sets) + 1):
+            pack_stage(args.datapath, k, workers=args.workers)
+            print(f"packed set_{k}")
     print(f"dataset ready: {len(sets)} resolution sets")
 
 

@@ -58,12 +58,19 @@ class StageDataset:
             for name in sorted(names):
                 if _is_image(name):
                     self.files.append(os.path.join(dirpath, name))
-        if not self.files:
-            raise OSError(f"no images under {self.set_dir}")
         self._cache: Optional[np.ndarray] = None
         self._cache_limit = cache_limit_bytes
+        # Packed zero-decode store (see pack_stage): a uint8 NHWC memmap.
+        packed = os.path.join(self.set_dir, "packed.npy")
+        self._packed: Optional[np.ndarray] = None
+        if self.derive_shift == 0 and os.path.exists(packed):
+            self._packed = np.load(packed, mmap_mode="r")
+        if not self.files and self._packed is None:
+            raise OSError(f"no images under {self.set_dir}")
 
     def __len__(self) -> int:
+        if self._packed is not None:
+            return int(self._packed.shape[0])
         return len(self.files)
 
     def _decode(self, path: str) -> np.ndarray:
@@ -81,6 +88,8 @@ class StageDataset:
 
     def maybe_cache(self, workers: int = 8) -> bool:
         """Decode everything into one uint8 NHWC array if under budget."""
+        if self._packed is not None:
+            return True  # memmap already serves zero-decode reads
         if self._cache is not None:
             return True
         probe = self._decode(self.files[0])
@@ -99,6 +108,10 @@ class StageDataset:
         return True
 
     def get_batch_uint8(self, indices: np.ndarray, workers: int = 8) -> np.ndarray:
+        if self._packed is not None:
+            return np.asarray(self._packed[np.sort(indices)])[
+                np.argsort(np.argsort(indices))
+            ]
         if self._cache is not None:
             return self._cache[indices]
         from byogan_tpu.data import native
@@ -122,6 +135,34 @@ class StageDataset:
             ):
                 out[j + 1] = img
         return out
+
+
+def pack_stage(root: str, stage: int, workers: int = 8) -> str:
+    """Pack set_{stage} into a single uint8 NHWC ``packed.npy`` memmap.
+
+    Training then reads batches with ZERO decode work and no RAM-cache
+    budget pressure (the OS page cache does the rest) — the fastest data
+    path for the big 256/512px stages.  Idempotent; loaders pick the packed
+    file up automatically.
+    """
+    ds = StageDataset(root, stage, cache_limit_bytes=0)
+    probe = ds._decode(ds.files[0])
+    path = os.path.join(ds.set_dir, "packed.npy")
+    tmp = path + ".tmp.npy"
+    arr = np.lib.format.open_memmap(
+        tmp, mode="w+", dtype=np.uint8, shape=(len(ds.files),) + probe.shape
+    )
+    arr[0] = probe
+
+    def fill(i):
+        arr[i] = ds._decode(ds.files[i])
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(fill, range(1, len(ds.files))))
+    arr.flush()
+    del arr
+    os.replace(tmp, path)
+    return path
 
 
 def _box_downsample_u8(img: np.ndarray, shift: int) -> np.ndarray:

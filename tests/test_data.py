@@ -127,3 +127,27 @@ def test_loader_propagates_decode_errors(prepared, tmp_path):
     ds = StageDataset(root, 1, cache_limit_bytes=0)  # force per-batch decode
     with pytest.raises(Exception):
         list(make_stage_loader(ds, batch_size=5, seed=0, epochs=1, cache=False))
+
+
+def test_packed_stage_matches_decoded(prepared, tmp_path):
+    """packed.npy memmap serves byte-identical batches with zero decode."""
+    import shutil
+
+    from byogan_tpu.data.pipeline import pack_stage
+
+    root = str(tmp_path / "packed")
+    shutil.copytree(prepared, root)
+    direct = StageDataset(root, 2)
+    idx = np.array([5, 0, 7, 2])
+    want = direct.get_batch_uint8(idx)
+
+    pack_stage(root, 2)
+    ds = StageDataset(root, 2)
+    assert ds._packed is not None
+    assert len(ds) == len(direct)
+    np.testing.assert_array_equal(ds.get_batch_uint8(idx), want)
+    # ignores decode entirely: nuke the PNGs, reads still work
+    for f in direct.files:
+        os.remove(f)
+    ds2 = StageDataset(root, 2)
+    np.testing.assert_array_equal(ds2.get_batch_uint8(idx), want)
