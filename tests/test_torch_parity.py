@@ -203,3 +203,23 @@ def test_generator_512px_full_depth_parity(ref_modules):
     got = gen.apply(params, jnp.asarray(z.numpy()), noise_j, steps=8, alpha=None)
     assert got.shape == (1, 512, 512, 3)
     np.testing.assert_allclose(np.asarray(got), to_nhwc(want), rtol=5e-4, atol=5e-4)
+
+
+@requires_reference
+def test_critic_512px_full_depth_parity(ref_modules):
+    """Full 8-stage critic forward at 512x512 matches the reference
+    (exercises every block incl. minibatch-stddev at full depth)."""
+    gan, _, ref_critic = ref_modules
+    torch.manual_seed(123)
+    images = torch.randn(4, 3, 512, 512)
+    with torch.no_grad():
+        want = ref_critic.forward(images, steps=8, alpha=0.6)
+
+    params = {"params": critic_params_from_torch(ref_critic.state_dict())}
+    critic = Critic()
+    got = critic.apply(
+        params, jnp.asarray(to_nhwc(images)), steps=8, alpha=jnp.float32(0.6)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().cpu().numpy(), rtol=5e-4, atol=5e-4
+    )
