@@ -9,10 +9,13 @@ update, on-device latent/noise sampling) on the real TPU chip at stage 6
 ``vs_baseline`` divides by the reference's own measured training throughput
 (BASELINE_REF.json — the reference repo publishes no numbers and this
 container has no GPU, so the denominator is the reference's PyTorch path on
-the host CPU; see that file for methodology).
+**host CPU**; an honest cross-hardware anchor is also emitted:
+``achieved_tflops``/``mfu`` from XLA's own per-step FLOP count against the
+v5e bf16 peak of 197 TFLOPS).
 
-Env knobs: BENCH_BATCH (default 64), BENCH_STEPS (timed iters, default 10),
-BENCH_STAGE (default 6 = 128px), BENCH_DTYPE (default bfloat16).
+Env knobs: BENCH_BATCH (default 128 — measured fastest), BENCH_STEPS (timed
+iters, default 20), BENCH_STAGE (default 6 = 128px), BENCH_DTYPE (default
+bfloat16).
 """
 
 from __future__ import annotations
@@ -73,6 +76,21 @@ def main() -> None:
 
     images_per_sec = timed_iters * batch / dt
 
+    # XLA's own FLOP count for the compiled step — the honest device-side
+    # denominator (the vs_baseline divisor is a host-CPU torch run; see
+    # module docstring).  v5e bf16 peak: 197 TFLOPS/chip.
+    step_flops = None
+    try:
+        cost = step_fn.lower(state, real).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_flops = float(cost["flops"])
+    except Exception:
+        pass  # cost analysis is backend-dependent; img/s stands alone
+    tflops = (
+        round(step_flops * timed_iters / dt / 1e12, 1) if step_flops else None
+    )
+
     baseline = None
     ref_path = os.path.join(os.path.dirname(__file__), "BASELINE_REF.json")
     if os.path.exists(ref_path):
@@ -88,6 +106,10 @@ def main() -> None:
                 "vs_baseline": (
                     round(images_per_sec / baseline, 1) if baseline else None
                 ),
+                "vs_baseline_note": "torch reference on host CPU (no GPU here)",
+                "achieved_tflops": tflops,
+                "mfu": round(tflops / 197.0, 3) if tflops else None,
+                "step_flops": step_flops,
             }
         )
     )

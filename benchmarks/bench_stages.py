@@ -1,4 +1,10 @@
-"""Train-step throughput at every progressive stage (RESULTS.md table)."""
+"""Train-step throughput at every progressive stage (RESULTS.md table).
+
+Round 2: stages 7-8 sweep batch size and remat (jax.checkpoint) — VERDICT r1
+item 1: the big stages dominate real-run wall-clock and were only ever
+measured at one (small) batch.  Env knobs: BENCH_ONLY="7,8" to restrict,
+BENCH_ITERS (default 10).
+"""
 import json
 import os
 import time
@@ -12,36 +18,59 @@ from byogan_tpu.train.config import TrainConfig
 from byogan_tpu.train.state import create_train_state
 from byogan_tpu.train.steps import make_train_step
 
+# (batch, remat) points per stage; first entry = round-1 configuration.
+SWEEP = {
+    1: [(512, False)],
+    2: [(512, False)],
+    3: [(256, False)],
+    4: [(256, False)],
+    5: [(128, False)],
+    6: [(128, False)],
+    7: [(32, False), (64, False), (64, True), (128, True)],
+    8: [(8, False), (16, False), (16, True), (32, True), (64, True)],
+}
+
 
 def main():
     enable_compilation_cache()
-    batches = {1: 512, 2: 512, 3: 256, 4: 256, 5: 128, 6: 128, 7: 32, 8: 8}
-    config = TrainConfig(compute_dtype="bfloat16")
     gen = Generator(dtype=jnp.bfloat16)
     critic = Critic(dtype=jnp.bfloat16)
-    state0 = create_train_state(config, gen, critic)
-    for stage in range(1, 9):
-        batch = batches[stage]
+    only = os.environ.get("BENCH_ONLY")
+    stages = (
+        [int(s) for s in only.split(",")] if only else list(range(1, 9))
+    )
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    for stage in stages:
         size = 4 * 2 ** (stage - 1)
-        step_fn = make_train_step(
-            gen, critic, config, steps=stage, batch=batch, fade_in=100.0,
-            critic_fade=(False,), gen_fade=False, donate=False,
-        )
-        real = jax.random.normal(jax.random.PRNGKey(0), (batch, size, size, 3))
-        state = state0
-        state, m = step_fn(state, real)
-        float(m["c_loss"])
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            state, m = step_fn(state, real)
-        float(m["c_loss"])
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "stage": stage, "px": size, "batch": batch,
-            "images_per_sec": round(iters * batch / dt, 1),
-            "ms_per_iter": round(dt / iters * 1e3, 1),
-        }), flush=True)
+        for batch, remat in SWEEP[stage]:
+            config = TrainConfig(compute_dtype="bfloat16", remat=remat)
+            state = create_train_state(config, gen, critic)
+            step_fn = make_train_step(
+                gen, critic, config, steps=stage, batch=batch, fade_in=100.0,
+                critic_fade=(False,), gen_fade=False, donate=True,
+            )
+            real = jax.random.normal(
+                jax.random.PRNGKey(0), (batch, size, size, 3)
+            )
+            try:
+                state, m = step_fn(state, real)
+                float(m["c_loss"])
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    state, m = step_fn(state, real)
+                float(m["c_loss"])
+                dt = time.perf_counter() - t0
+            except Exception as e:
+                print(json.dumps({
+                    "stage": stage, "px": size, "batch": batch,
+                    "remat": remat, "error": str(e)[:160],
+                }), flush=True)
+                continue
+            print(json.dumps({
+                "stage": stage, "px": size, "batch": batch, "remat": remat,
+                "images_per_sec": round(iters * batch / dt, 1),
+                "ms_per_iter": round(dt / iters * 1e3, 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":

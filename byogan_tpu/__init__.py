@@ -14,8 +14,10 @@ Key design decisions (TPU-first, not a port):
     step per (progressive stage, fade-in?) compile bucket.
   * Data parallelism via jax.sharding.Mesh + jit sharding annotations, with
     optional tensor-parallel sharding of the mapping network / wide convs.
-  * Pallas kernels for the fused noise-inject/LeakyReLU/AdaIN epilogue and
-    minibatch-stddev, with pure-lax fallbacks (ops/).
+  * Pallas kernels for the fused noise-inject/LeakyReLU/AdaIN epilogue (and a
+    conv3x3+epilogue variant), with pure-lax fallbacks and measured dispatch
+    gates (ops/, benchmarks/RESULTS.md); minibatch-stddev deliberately stays
+    lax — it is microseconds of VPU work on a (B,4,4,512) tensor.
 """
 
 __version__ = "0.1.0"

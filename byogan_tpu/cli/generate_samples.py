@@ -35,7 +35,8 @@ def main(argv=None):
         dest="output_dir", default=".", type=str, help="output directory",
     )
     parser.add_argument(
-        "-z", "--z-size", dest="z_size", default=512, type=int, help="noise size"
+        "-z", "--z-size", dest="z_size", default=None, type=int,
+        help="noise size (default: read from the checkpoint)",
     )
     parser.add_argument(
         "-t", "--truncation",
@@ -47,6 +48,11 @@ def main(argv=None):
     parser.add_argument(
         "--batch", default=None, type=int,
         help="generate in batches of this size (default: all at once)",
+    )
+    parser.add_argument(
+        "--pallas", action="store_true",
+        help="use the fused Pallas synthesis kernels (TPU only; off by "
+        "default — see benchmarks/RESULTS.md for when they win)",
     )
     args = parser.parse_args(argv)
 
@@ -63,15 +69,23 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from byogan_tpu.models.factory import ModelSpec, build_generator
+    from byogan_tpu.models.factory import (
+        ModelSpec,
+        build_generator,
+        z_dim_from_params,
+    )
     from byogan_tpu.train.checkpoint import load_checkpoint
 
     save = load_checkpoint(args.model)
     steps, alpha = save["step"], save["alpha"]
+    if args.z_size is None:
+        args.z_size = z_dim_from_params(save["gen_params"])
 
     # Rebuild the architecture the checkpoint was trained with (reference
     # .pth files carry no spec -> reference-default architecture).
-    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    gen = build_generator(
+        ModelSpec.from_dict(save.get("model")), use_pallas=args.pallas
+    )
     params = {"params": save["gen_params"]}
     seed = int.from_bytes(os.urandom(4), "little") if args.seed is None else args.seed
     key = jax.random.PRNGKey(seed)

@@ -31,9 +31,16 @@ def main(argv=None):
         "-p", "--psi-steps", type=int, default=61,
         help="frames per latent pair (inclusive endpoints)",
     )
-    parser.add_argument("-z", "--z-size", type=int, default=512)
+    parser.add_argument(
+        "-z", "--z-size", type=int, default=None,
+        help="noise size (default: read from the checkpoint)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-d", "--device", default=None)
+    parser.add_argument(
+        "--pallas", action="store_true",
+        help="use the fused Pallas synthesis kernels (TPU only)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -48,14 +55,22 @@ def main(argv=None):
 
     from byogan_tpu.core.grids import save_image
     from byogan_tpu.core.random import fixed_synthesis_noise, truncated_noise
-    from byogan_tpu.models.factory import ModelSpec, build_generator
+    from byogan_tpu.models.factory import (
+        ModelSpec,
+        build_generator,
+        z_dim_from_params,
+    )
     from byogan_tpu.train.checkpoint import load_checkpoint
 
     os.makedirs(args.output, exist_ok=True)
     save = load_checkpoint(args.checkpoint)
     steps, alpha = save["step"], save["alpha"]
+    if args.z_size is None:
+        args.z_size = z_dim_from_params(save["gen_params"])
 
-    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    gen = build_generator(
+        ModelSpec.from_dict(save.get("model")), use_pallas=args.pallas
+    )
     params = {"params": save["gen_params"]}
 
     key = jax.random.PRNGKey(args.seed)

@@ -44,9 +44,11 @@ class StageDataset:
         cache_limit_bytes: int = 1 << 30,
         derive_shift: int = 0,
     ):
-        """``derive_shift=k`` reads set_{stage} files but box-downsamples each
-        decoded image by 2^k — the single-multi-res-source mode (SURVEY §7
-        step 5): one high-resolution set on disk serves every lower stage."""
+        """``derive_shift=k`` reads set_{stage} files but downsamples each
+        decoded image by 2^k with prep's own bilinear filter — the
+        single-multi-res-source mode (SURVEY §7 step 5): one high-resolution
+        set on disk serves every lower stage with the SAME pixels prep would
+        have written."""
         self.set_dir = os.path.join(root, "prepared", f"set_{stage}")
         self.derive_shift = derive_shift
         if not os.path.isdir(self.set_dir):
@@ -83,7 +85,7 @@ class StageDataset:
             with Image.open(path) as im:
                 img = np.asarray(im.convert("RGB"), dtype=np.uint8)
         if self.derive_shift:
-            img = _box_downsample_u8(img, self.derive_shift)
+            img = _downsample_u8(img, self.derive_shift)
         return img
 
     def maybe_cache(self, workers: int = 8) -> bool:
@@ -165,16 +167,40 @@ def pack_stage(root: str, stage: int, workers: int = 8) -> str:
     return path
 
 
-def _box_downsample_u8(img: np.ndarray, shift: int) -> np.ndarray:
-    """Exact 2^shift box-filter downsample of an HWC uint8 image."""
-    h, w, c = img.shape
-    f = 1 << shift
-    out = (
-        img.astype(np.uint32)
-        .reshape(h // f, f, w // f, f, c)
-        .sum(axis=(1, 3))
-    )
-    return ((out + (f * f) // 2) // (f * f)).astype(np.uint8)
+def _halve_axis0(x: np.ndarray) -> np.ndarray:
+    """One antialiased bilinear 2x reduction along axis 0 (float64 in/out).
+
+    Exactly PIL's BILINEAR reduction filter for an integer 2x factor: a
+    triangle filter of support 2, i.e. interior taps (1,3,3,1)/8 and
+    boundary-clipped renormalized taps (3,3,1)/7 — so stages derived from a
+    higher prepared set match what prep.py's PIL resize chain writes to disk
+    (to within 1 LSB of PIL's fixed-point arithmetic)."""
+    h = x.shape[0]
+    n = h // 2
+    if n == 1:
+        return (x[0:1] + x[1:2]) / 2.0
+    out = np.empty((n,) + x.shape[1:], np.float64)
+    out[0] = (3.0 * x[0] + 3.0 * x[1] + x[2]) / 7.0
+    out[n - 1] = (x[2 * n - 3] + 3.0 * x[2 * n - 2] + 3.0 * x[2 * n - 1]) / 7.0
+    if n > 2:
+        out[1:-1] = (
+            x[1 : 2 * n - 3 : 2]
+            + 3.0 * x[2 : 2 * n - 2 : 2]
+            + 3.0 * x[3 : 2 * n - 1 : 2]
+            + x[4 : 2 * n : 2]
+        ) / 8.0
+    return out
+
+
+def _downsample_u8(img: np.ndarray, shift: int) -> np.ndarray:
+    """2^shift downsample of an HWC uint8 image via repeated 2x bilinear
+    halvings, rounding to uint8 between halvings exactly like prep.py's
+    largest-first PIL resize chain (data/prep.py:93-100)."""
+    for _ in range(shift):
+        x = _halve_axis0(img.astype(np.float64))
+        x = _halve_axis0(x.transpose(1, 0, 2)).transpose(1, 0, 2)
+        img = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+    return img
 
 
 def open_stage_dataset(
@@ -230,13 +256,34 @@ def make_stage_loader(
     prefetch: int = 2,
     epochs: Optional[int] = 1,
     cache: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
+    skip_batches: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield NHWC float32 batches in [-1,1], prefetched on a worker thread.
 
     ``epochs=None`` streams forever.  One epoch = one shuffled pass
     (train.py:112-117 semantics, minus the ragged tail under
     drop_remainder).
+
+    ``skip_batches``: skip the first m batches of the FIRST epoch while still
+    consuming their RNG draws — the stream continues bit-identically to an
+    uninterrupted pass (batch-exact resume, train/loop.py).
+
+    Multi-host: with ``process_count > 1``, every host draws the IDENTICAL
+    global shuffle/flip sequence (same seed) but decodes ONLY its contiguous
+    ``batch_size / process_count`` row slice of each global batch — the rows
+    its addressable devices own under the mesh's batch sharding.  Batches
+    then assemble into one global array via
+    ``jax.make_array_from_process_local_data`` (device_prefetch).
     """
+    if batch_size % process_count != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by process_count "
+            f"{process_count}"
+        )
+    local_rows = batch_size // process_count
+    lo_row = process_index * local_rows
     if cache:
         dataset.maybe_cache(workers=workers)
     rng = np.random.default_rng(seed)
@@ -255,12 +302,18 @@ def make_stage_loader(
                     if stop.is_set():
                         return
                     idx = order[lo : lo + batch_size]
-                    batch_u8 = dataset.get_batch_uint8(idx, workers=workers)
+                    # Draw flips for the GLOBAL batch (keeps the stream
+                    # identical whatever process_count is), then slice.
                     flips = (
                         rng.random(len(idx)) < 0.5
                         if flip
                         else np.zeros(len(idx), bool)
                     )
+                    if epoch == 0 and lo // batch_size < skip_batches:
+                        continue  # resume skip: RNG consumed, no decode
+                    idx = idx[lo_row : lo_row + local_rows]
+                    flips = flips[lo_row : lo_row + local_rows]
+                    batch_u8 = dataset.get_batch_uint8(idx, workers=workers)
                     q.put(_normalize(batch_u8, flips))
                 epoch += 1
         except BaseException as e:  # surface IO errors to the consumer —
@@ -299,7 +352,8 @@ def batches_per_epoch(
     return -(-dataset_len // batch_size)
 
 
-def device_prefetch(iterator, sharding=None, depth: int = 2):
+def device_prefetch(iterator, sharding=None, depth: int = 2,
+                    process_count: int = 1):
     """Overlap host->device transfer with device compute.
 
     Wraps a host-batch iterator: batches are jax.device_put (optionally with
@@ -307,6 +361,11 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     the transfer of batch N+1 rides under the computation of batch N.  (The
     reference's DataLoader moves tensors inside the train loop per step,
     train.py:150-156.)
+
+    Multi-host (``process_count > 1``): each host's iterator yields only its
+    LOCAL row slice (make_stage_loader's per-host sharding); the slices
+    assemble into one global jax.Array spanning all hosts via
+    ``jax.make_array_from_process_local_data``.
     """
     import collections
 
@@ -315,7 +374,16 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     buf = collections.deque()
     try:
         for item in iterator:
-            if sharding is not None:
+            if process_count > 1:
+                if sharding is None:
+                    raise ValueError(
+                        "multi-host prefetch requires a batch sharding"
+                    )
+                global_shape = (item.shape[0] * process_count,) + item.shape[1:]
+                dev = jax.make_array_from_process_local_data(
+                    sharding, item, global_shape
+                )
+            elif sharding is not None:
                 dev = jax.device_put(item, sharding)
             else:
                 dev = jax.device_put(item)

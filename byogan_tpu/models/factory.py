@@ -72,6 +72,14 @@ class ModelSpec:
         return cls(**{k: v for k, v in d.items() if k in fields})
 
 
+def z_dim_from_params(gen_params) -> int:
+    """The latent size a checkpoint was trained with — the mapping net's
+    first dense weight is (z_dim, style_dim).  Lets the sampling surfaces
+    default to the right z size instead of a hardcoded 512 (the reference
+    CLI silently requires the user to pass -z for non-512 models)."""
+    return int(gen_params["mapping"]["dense0"]["weight"].shape[0])
+
+
 def build_generator(
     spec: ModelSpec = ModelSpec(),
     dtype=None,

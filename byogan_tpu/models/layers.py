@@ -67,6 +67,24 @@ class EqualizedDense(nn.Module):
         return jnp.dot(x, w, preferred_element_type=x.dtype) + b
 
 
+def equalized_conv_apply(
+    x: jax.Array, w: jax.Array, b: jax.Array, scale: float, padding: int
+) -> jax.Array:
+    """Apply an equalized conv from raw params (shared by EqualizedConv and
+    StyleConvBlock's fused dispatch so both paths stay bit-identical)."""
+    w = _maybe_cast(w * scale, x.dtype)
+    b = _maybe_cast(b, x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return out + b
+
+
 class EqualizedConv(nn.Module):
     """Equalized-LR conv (reference ``EqualizedConv2d``, gan.py:20-38).
 
@@ -82,8 +100,10 @@ class EqualizedConv(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def scaled_params(self, in_ch: int):
+        """(weight, bias, runtime scale) — the compact param declaration,
+        exposed so StyleConvBlock can feed the fused Pallas kernel the same
+        parameters (same tree paths) it would use for the lax conv."""
         k = self.kernel_size
         w = self.param(
             "weight",
@@ -94,19 +114,13 @@ class EqualizedConv(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
         )
-        scale = math.sqrt(2.0 / (in_ch * k * k))
-        x = _maybe_cast(x, self.dtype)
-        w = _maybe_cast(w * scale, x.dtype)
-        b = _maybe_cast(b, x.dtype)
-        out = jax.lax.conv_general_dilated(
-            x,
-            w,
-            window_strides=(1, 1),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=x.dtype,
+        return w, b, math.sqrt(2.0 / (in_ch * k * k))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w, b, scale = self.scaled_params(x.shape[-1])
+        return equalized_conv_apply(
+            _maybe_cast(x, self.dtype), w, b, scale, self.padding
         )
-        return out + b
 
 
 class NoiseInjection(nn.Module):
@@ -234,14 +248,38 @@ class StyleConvBlock(nn.Module):
         self, x: Optional[jax.Array], style: jax.Array, noise: jax.Array
     ) -> jax.Array:
         batch = style.shape[0]
+        gamma, beta = self.adain.project(style)
         if self.is_initial:
             out = jnp.broadcast_to(
                 _maybe_cast(self.const, self.dtype or style.dtype),
                 (batch, 4, 4, self.in_channels),
             )
         else:
-            out = self.conv(x)
-        gamma, beta = self.adain.project(style)
+            x = _maybe_cast(x, self.dtype)
+            w, b, scale = self.conv.scaled_params(x.shape[-1])
+            if self.use_pallas:
+                from byogan_tpu.ops.pallas_styleconv import (
+                    styleconv,
+                    styleconv_supported,
+                )
+
+                if styleconv_supported(
+                    x.shape, x.shape[-1], self.out_channels,
+                    x.dtype.itemsize, for_training=True,
+                ):
+                    # Whole synthesis conv in one differentiable Pallas
+                    # kernel (conv + noise + lrelu + AdaIN; custom_vjp with
+                    # closed-form lax backward).
+                    return styleconv(
+                        x,
+                        _maybe_cast(w * scale, x.dtype),
+                        b,
+                        noise.astype(x.dtype),
+                        self.noise.weight,
+                        gamma,
+                        beta,
+                    )
+            out = equalized_conv_apply(x, w, b, scale, padding=1)
         return noise_lrelu_adain(
             out,
             noise.astype(out.dtype),

@@ -5,9 +5,9 @@ gan.py:89-98: inject_noise -> LeakyReLU(0.2) -> AdaIN) — the hottest
 elementwise+reduction chain in the model.  Two implementations:
 
   * ``noise_lrelu_adain_lax`` — pure lax; XLA fuses it into the producing
-    conv.  Always available, used for gradients (the Pallas forward pairs
-    with this backward via jax.custom_vjp is future work; currently the
-    Pallas path is inference/bench only).
+    conv.  Always available, used for gradients of the epilogue-only path.
+    (The TRAINING-capable Pallas fusion lives in ops/pallas_styleconv.py:
+    ``styleconv`` fuses the producing conv too and carries a custom_vjp.)
   * ``noise_lrelu_adain_pallas`` — single-pass Pallas TPU kernel: one HBM
     read of the conv output, statistics in VMEM, one HBM write.  Requires
     the (H*W, C) slab of one sample to fit VMEM; the dispatcher falls back

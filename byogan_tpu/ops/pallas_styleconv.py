@@ -3,19 +3,28 @@
 The full synthesis conv of a generator stage (reference gan.py:89-98) in ONE
 kernel.  Rationale (benchmarks/RESULTS.md): fusing only the epilogue loses
 end-to-end because the custom-call boundary stops XLA from fusing the
-epilogue into the conv — so fuse the conv itself.  Per sample:
+epilogue into the conv — so fuse the conv itself.
 
-  * the input slab (H+2, W+2, Cin) is zero-padded in VMEM;
-  * the 3x3 conv runs as 9 shifted (H*W, Cin) @ (Cin, Cout) MXU matmuls
-    accumulated in float32 (im2col-free);
-  * bias + noise + LeakyReLU + instance-norm + style affine run on the VPU
-    while the slab is still resident;
-  * one HBM read of x, one HBM write of the result — XLA's lowering writes
-    the conv output and re-reads it twice for the norm (4 touches).
+Round-2 design (the round-1 kernel was one-sample-per-program and lost on
+most shapes because M = H*W rows starved the MXU at small resolutions):
 
-Applicable while one sample's slabs fit VMEM (<= 64x64 spatial at these
-channel widths — same regime where the epilogue kernel measured 1.3-1.75x).
-Forward-only (training uses the lax path; serving/sampling kernel).
+  * **batched grid**: each program processes ``nb`` samples; the 3x3 conv
+    runs as 9 shifted ``(nb*H*W, Cin) @ (Cin, Cout)`` MXU matmuls accumulated
+    in float32 — M scales with nb, so 8x8 stages feed the systolic array
+    2048 rows instead of 64.  ``nb`` is chosen per shape to keep resident
+    VMEM under budget (``_pick_nb``).
+  * bias + noise + LeakyReLU + per-sample instance-norm + style affine run
+    on the VPU while the slab is resident: one HBM read of x, one write of
+    the result.
+  * **training-capable**: ``styleconv`` is a ``jax.custom_vjp`` — the
+    forward is this kernel (emitting the pre-norm activations + per-sample
+    mean/inv as residuals), the backward is closed-form lax (instance-norm
+    backward + XLA's own transposed convs via ``jax.vjp`` of the conv), so
+    no forward recompute is needed.
+
+Gating stays measurement-driven: ``styleconv_supported`` limits to shapes
+where the slab strategy fits VMEM; callers flip it on only where the bench
+shows a win (benchmarks/bench_styleconv.py).
 """
 
 from __future__ import annotations
@@ -27,53 +36,166 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+# Tests flip this to run the identical dispatch path through the Pallas
+# interpreter on CPU (tests/test_pallas_ops.py).
+_INTERPRET = False
+
 
 def _kernel(x_ref, w_ref, b_ref, noise_ref, nw_ref, gamma_ref, beta_ref,
-            out_ref, xpad_ref, acc_ref, *, eps):
-    h, w, cin = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+            *refs, eps, nb, emit_hv):
+    if emit_hv:
+        out_ref, hv_ref, mean_ref, inv_ref, xpad_ref = refs
+    else:
+        (out_ref, xpad_ref) = refs
+    h = x_ref.shape[1]
+    w = x_ref.shape[2]
+    cin = x_ref.shape[3]
     cout = out_ref.shape[2]
+    hw = h * w
 
-    # Zero-pad the sample into scratch (H+2, W+2, Cin).
+    # Zero-pad each sample into scratch (nb, H+2, W+2, Cin).
     xpad_ref[:] = jnp.zeros_like(xpad_ref)
-    xpad_ref[1 : h + 1, 1 : w + 1, :] = x_ref[0]
+    xpad_ref[:, 1 : h + 1, 1 : w + 1, :] = x_ref[:]
 
-    # 9 shifted MXU matmuls accumulated in f32.
-    acc = jnp.zeros((h * w, cout), jnp.float32)
+    # 9 shifted MXU matmuls accumulated in f32; M = nb*H*W.
+    acc = jnp.zeros((nb * hw, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            patch = xpad_ref[dy : dy + h, dx : dx + w, :].reshape(h * w, cin)
-            tap = w_ref[dy, dx]  # (Cin, Cout)
-            acc += jnp.dot(patch, tap, preferred_element_type=jnp.float32)
-    acc_ref[:] = acc
+            patch = xpad_ref[:, dy : dy + h, dx : dx + w, :].reshape(
+                nb * hw, cin
+            )
+            acc += jnp.dot(
+                patch, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
 
-    # Epilogue (all f32 in VMEM): bias + noise + lrelu + instnorm + affine.
+    # Epilogue (f32 in VMEM): bias + noise + lrelu + per-sample instnorm +
+    # style affine.
     bias = b_ref[0].astype(jnp.float32)[None, :]
     nw = nw_ref[0].astype(jnp.float32)[None, :]
-    noise = noise_ref[0].reshape(h * w, 1).astype(jnp.float32)
-    hv = acc_ref[:] + bias + nw * noise
+    noise = noise_ref[:].reshape(nb * hw, 1).astype(jnp.float32)
+    hv = acc + bias + nw * noise
     hv = jnp.maximum(hv, 0.2 * hv)
-    hw = h * w
-    s1 = jnp.sum(hv, axis=0, keepdims=True)
-    s2 = jnp.sum(hv * hv, axis=0, keepdims=True)
-    mean = s1 / hw
-    var = jnp.maximum(s2 / hw - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    gamma = gamma_ref[0].astype(jnp.float32)
-    beta = beta_ref[0].astype(jnp.float32)
+    hv3 = hv.reshape(nb, hw, cout)
+    mean = hv3.sum(axis=1) / hw                      # (nb, Cout)
+    var = jnp.maximum((hv3 * hv3).sum(axis=1) / hw - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                   # (nb, Cout)
+    gamma = gamma_ref[:, 0].astype(jnp.float32)      # (nb, Cout)
+    beta = beta_ref[:, 0].astype(jnp.float32)
     scale = gamma * inv
     shift = beta - scale * mean
-    out_ref[0] = (scale * hv + shift).astype(out_ref.dtype)
+    out = scale[:, None, :] * hv3 + shift[:, None, :]
+    out_ref[:] = out.astype(out_ref.dtype)
+    if emit_hv:
+        hv_ref[:] = hv3.astype(hv_ref.dtype)
+        mean_ref[:] = mean
+        inv_ref[:] = inv
 
 
-def styleconv_supported(shape, cin: int, cout: int) -> bool:
-    """One sample's padded slab + f32 accumulator must fit VMEM comfortably."""
+def _pick_nb(n: int, h: int, w: int, cin: int, cout: int, itemsize: int,
+             emit_hv: bool) -> int:
+    """Largest power-of-2 samples-per-program under the VMEM budget.
+
+    Targets MXU-efficient M = nb*H*W while keeping x block + padded scratch
+    + f32 accumulator + outputs resident.
+    """
+    hw = h * w
+    weights = 9 * cin * cout * itemsize
+    best = 0
+    nb = 1
+    while nb <= n:
+        if n % nb == 0:
+            per = nb * (
+                (h + 2) * (w + 2) * cin * itemsize   # padded scratch
+                + hw * cin * itemsize                # x block
+                + hw * cout * 4                      # f32 accumulator value
+                + hw * cout * itemsize * (2 if emit_hv else 1)  # out (+hv)
+                + hw * itemsize                      # noise
+            )
+            if weights + per <= _VMEM_BUDGET:
+                best = nb
+            elif best:
+                break
+        nb *= 2
+    return best
+
+
+def styleconv_supported(shape, cin: int, cout: int,
+                        itemsize: int = 2, for_training: bool = False) -> bool:
+    """True when at least one sample fits the slab strategy's VMEM budget."""
     n, h, w, _ = shape
-    pad_bytes = (h + 2) * (w + 2) * cin * 4  # scratch kept f32-ish budget
-    acc_bytes = h * w * cout * 4
-    return h * w <= 4096 and pad_bytes + acc_bytes <= 8 * 1024 * 1024
+    return _pick_nb(n, h, w, cin, cout, itemsize, for_training) >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+def _call_kernel(x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv):
+    n, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    hw = h * w
+    nb = _pick_nb(n, h, w, cin, cout, x.dtype.itemsize, emit_hv)
+    if nb < 1:
+        raise ValueError(f"styleconv_pallas: shape {x.shape} exceeds VMEM")
+    out_shapes = [jax.ShapeDtypeStruct((n, hw, cout), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((nb, hw, cout), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if emit_hv:
+        out_shapes += [
+            jax.ShapeDtypeStruct((n, hw, cout), x.dtype),
+            jax.ShapeDtypeStruct((n, cout), jnp.float32),
+            jax.ShapeDtypeStruct((n, cout), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((nb, hw, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    res = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, nb=nb, emit_hv=emit_hv),
+        out_shape=out_shapes,
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weight (3,3,Cin,Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, Cout)
+            pl.BlockSpec((nb, hw, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # noise_w (1, Cout)
+            pl.BlockSpec((nb, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, cout), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((nb, h + 2, w + 2, cin), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hw * 9 * cin * cout,
+            bytes_accessed=n * hw * (cin + cout) * x.dtype.itemsize,
+            transcendentals=n * cout,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(
+        x,
+        weight,
+        bias.reshape(1, cout),
+        noise.reshape(n, hw, 1),
+        noise_w.reshape(1, cout),
+        gamma.reshape(n, 1, cout),
+        beta.reshape(n, 1, cout),
+    )
+    return res
+
+
 def styleconv_pallas(
     x: jax.Array,       # (N, H, W, Cin) — post-upsample input
     weight: jax.Array,  # (3, 3, Cin, Cout) — ALREADY equalized-scaled
@@ -84,46 +206,87 @@ def styleconv_pallas(
     beta: jax.Array,    # (N, Cout)
     eps: float = 1e-8,
 ) -> jax.Array:
+    """Inference-path fused styleconv (single output).  Callers are expected
+    to be inside jit (the model apply always is)."""
+    n, h, w, _ = x.shape
+    (out,) = _call_kernel(
+        x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv=False
+    )
+    return out.reshape(n, h, w, weight.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Training path: custom_vjp with a closed-form lax backward (no recompute).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def styleconv(x, weight, bias, noise, noise_w, gamma, beta, eps=1e-8):
+    """Differentiable fused styleconv.  Same contract as styleconv_pallas."""
+    return styleconv_pallas(x, weight, bias, noise, noise_w, gamma, beta,
+                            eps=eps)
+
+
+def _styleconv_fwd(x, weight, bias, noise, noise_w, gamma, beta, eps):
+    n, h, w, _ = x.shape
+    cout = weight.shape[-1]
+    out, hv, mean, inv = _call_kernel(
+        x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv=True
+    )
+    res = (x, weight, noise, noise_w, gamma, hv, mean, inv)
+    return out.reshape(n, h, w, cout), res
+
+
+def _styleconv_bwd(eps, res, dy):
+    """Closed-form backward from saved residuals.
+
+    Instance-norm backward + LeakyReLU mask recovered from the sign of the
+    saved pre-norm activations (LeakyReLU preserves sign), then XLA's own
+    transposed convolutions via jax.vjp of the linear conv (the primal
+    output is dead code and DCE'd).
+    """
+    x, weight, noise, noise_w, gamma, hv, mean, inv = res
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
-    out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, h * w, cout), x.dtype),
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weight (3,3,Cin,Cout)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1, Cout)
-            pl.BlockSpec((1, h * w, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # noise_w (1, Cout)
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h * w, cout), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2, cin), x.dtype),
-            pltpu.VMEM((h * w, cout), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * w * 9 * cin * cout,
-            bytes_accessed=n * h * w * (cin + cout) * x.dtype.itemsize,
-            transcendentals=n * cout,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(
-        x,
-        weight,
-        bias.reshape(1, cout),
-        noise.reshape(n, h * w, 1),
-        noise_w.reshape(1, cout),
-        gamma.reshape(n, 1, cout),
-        beta.reshape(n, 1, cout),
+    hw = h * w
+
+    dy3 = dy.reshape(n, hw, cout).astype(jnp.float32)
+    hv3 = hv.astype(jnp.float32)                      # (n, hw, cout)
+    hhat = (hv3 - mean[:, None, :]) * inv[:, None, :]
+
+    dgamma = (dy3 * hhat).sum(axis=1).astype(gamma.dtype)   # (n, cout)
+    dbeta = dy3.sum(axis=1).astype(gamma.dtype)
+
+    g32 = gamma.astype(jnp.float32)
+    dyg = dy3 * g32[:, None, :]
+    dhv = inv[:, None, :] * (
+        dyg
+        - dyg.mean(axis=1, keepdims=True)
+        - hhat * (dyg * hhat).mean(axis=1, keepdims=True)
     )
-    return out.reshape(n, h, w, cout)
+    dpre = jnp.where(hv3 >= 0, dhv, 0.2 * dhv)        # (n, hw, cout) f32
+
+    dbias = dpre.sum(axis=(0, 1)).astype(noise_w.dtype)
+    noise_flat = noise.reshape(n, hw, 1).astype(jnp.float32)
+    dnoise_w = (dpre * noise_flat).sum(axis=(0, 1)).astype(noise_w.dtype)
+    dnoise = (
+        (dpre * noise_w.astype(jnp.float32)[None, None, :]).sum(
+            axis=2, keepdims=True
+        )
+    ).reshape(n, h, w, 1).astype(noise.dtype)
+
+    dpre_img = dpre.reshape(n, h, w, cout).astype(x.dtype)
+
+    def conv_only(xx, ww):
+        return jax.lax.conv_general_dilated(
+            xx, ww, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xx.dtype,
+        )
+
+    _, conv_vjp = jax.vjp(conv_only, x, weight)
+    dx, dweight = conv_vjp(dpre_img)
+    return dx, dweight, dbias, dnoise, dnoise_w, dgamma, dbeta
+
+
+styleconv.defvjp(_styleconv_fwd, _styleconv_bwd)

@@ -17,12 +17,12 @@ activation all-gathers over the model axis) and lays them on ICI.
     by default (model_axis=1).
 
 Multi-host: ``jax.distributed.initialize()`` + the same mesh over
-``jax.devices()`` — no transport code here at all, by design.  The data
-loader is seeded identically on every host (train/loop.py), so each process
-materializes the same global batch and ``jax.device_put`` with the batch
-sharding keeps only the addressable shards — correct, at the cost of
-redundant host-side decode (per-host dataset sharding is a future
-optimization).
+``jax.devices()`` — no transport code here at all, by design.  Data is
+sharded per host: every process seeds the identical global shuffle but
+decodes only its own ``batch/process_count`` row slice of each batch
+(data/pipeline.py ``make_stage_loader(process_index=..., process_count=...)``),
+and the slices assemble into one global jax.Array via
+``jax.make_array_from_process_local_data`` (``device_prefetch``).
 """
 
 from __future__ import annotations
@@ -60,7 +60,9 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def sharding_for_leaf(path_str: str, shape, mesh: Mesh) -> NamedSharding:
+def sharding_for_leaf(
+    path_str: str, shape, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
+) -> NamedSharding:
     """Partition rule for a parameter (or optimizer-moment) leaf.
 
     TP rules (active only when the mesh's model axis > 1):
@@ -68,42 +70,48 @@ def sharding_for_leaf(path_str: str, shape, mesh: Mesh) -> NamedSharding:
       * conv kernels (kh, kw, in, out) with wide ``out``: P(None, None, None,
         "model"); biases of those layers follow on their only dim.
     Everything else (and everything when model=1) is replicated — data
-    parallelism needs no per-param annotation.
+    parallelism needs no per-param annotation.  ``tp_min_features`` is the
+    width threshold (tests lower it to exercise TP on small models).
     """
     model_size = mesh.shape.get("model", 1)
     spec = P()
     if model_size > 1:
         is_mapping = "mapping/" in path_str
         if path_str.endswith("weight") and len(shape) == 2:
-            if shape[1] >= _TP_MIN_FEATURES and shape[1] % model_size == 0:
+            if shape[1] >= tp_min_features and shape[1] % model_size == 0:
                 spec = P(None, "model")
         elif path_str.endswith("weight") and len(shape) == 4:
-            if shape[3] >= _TP_MIN_FEATURES and shape[3] % model_size == 0:
+            if shape[3] >= tp_min_features and shape[3] % model_size == 0:
                 spec = P(None, None, None, "model")
         elif path_str.endswith("bias") and len(shape) == 1 and is_mapping:
-            if shape[0] >= _TP_MIN_FEATURES and shape[0] % model_size == 0:
+            if shape[0] >= tp_min_features and shape[0] % model_size == 0:
                 spec = P("model")
     return NamedSharding(mesh, spec)
 
 
-def tree_shardings(tree: Any, mesh: Mesh) -> Any:
+def tree_shardings(
+    tree: Any, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
+) -> Any:
     """Sharding pytree matching ``tree`` via sharding_for_leaf."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: sharding_for_leaf(
-            _path_str(path), getattr(leaf, "shape", ()), mesh
+            _path_str(path), getattr(leaf, "shape", ()), mesh, tp_min_features
         ),
         tree,
     )
 
 
-def shard_train_state(state, mesh: Mesh):
+def shard_train_state(state, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES):
     """Place a TrainState on the mesh: params/opt-state per TP rules
     (replicated over data), counters/rng replicated."""
     def place(tree):
         return jax.tree_util.tree_map_with_path(
             lambda path, leaf: jax.device_put(
                 leaf,
-                sharding_for_leaf(_path_str(path), getattr(leaf, "shape", ()), mesh),
+                sharding_for_leaf(
+                    _path_str(path), getattr(leaf, "shape", ()), mesh,
+                    tp_min_features,
+                ),
             ),
             tree,
         )

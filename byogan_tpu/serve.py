@@ -47,21 +47,29 @@ class Sampler:
         self,
         checkpoint: str,
         batch: int = 32,
-        z_dim: int = 512,
+        z_dim: Optional[int] = None,
         truncation: float = 0.75,
         dtype: str = "bfloat16",
         mesh=None,
         seed: Optional[int] = None,
+        use_pallas: bool = False,
     ):
+        """``use_pallas`` switches synthesis to the fused Pallas epilogue
+        (ops/fused.py) — measured slower end-to-end than XLA fusion at 512px
+        (benchmarks/RESULTS.md), exposed for shapes/hardware where it wins."""
         save = load_checkpoint(checkpoint)
         self.steps: int = save["step"]
         self.alpha = save["alpha"]
         self.batch = batch
+        if z_dim is None:
+            from byogan_tpu.models.factory import z_dim_from_params
+
+            z_dim = z_dim_from_params(save["gen_params"])
         self.z_dim = z_dim
         self.truncation = truncation
         spec = ModelSpec.from_dict(save.get("model"))
         model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
-        self._gen = build_generator(spec, dtype=model_dtype)
+        self._gen = build_generator(spec, dtype=model_dtype, use_pallas=use_pallas)
         self._params = {"params": save["gen_params"]}
         self._mesh = mesh
         if mesh is not None:
@@ -79,13 +87,21 @@ class Sampler:
         def synth(params, key):
             kz, kn = jax.random.split(key)
             z = truncated_noise(kz, batch, z_dim, truncation, compute_dtype)
+            noise = synthesis_noise(kn, batch, steps, dtype=compute_dtype)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 z = jax.lax.with_sharding_constraint(
                     z, NamedSharding(mesh, P("data", None))
                 )
-            noise = synthesis_noise(kn, batch, steps, dtype=compute_dtype)
+                # Pin the per-stage noise maps to the same batch sharding —
+                # don't rely on XLA propagating it through the RNG ops.
+                noise = [
+                    jax.lax.with_sharding_constraint(
+                        n, NamedSharding(mesh, P("data", None, None, None))
+                    )
+                    for n in noise
+                ]
             img = gen.apply(
                 params, z, noise, steps=steps,
                 alpha=None if alpha is None else jnp.float32(alpha),

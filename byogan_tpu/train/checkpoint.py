@@ -89,7 +89,13 @@ def save_checkpoint(
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Newest ``chk-*`` dir by iteration number (auto-resume support)."""
+    """Newest checkpoint dir by iteration number (auto-resume support).
+
+    Considers both periodic ``chk-{iters}`` dirs and the ``FINAL`` dir
+    (train.py:258 vs train.py:271) — after a completed run, auto-resume must
+    pick FINAL, not the last periodic save.  Ties go to FINAL (it is written
+    after the periodic checkpoint at the same iteration).
+    """
     if not os.path.isdir(directory):
         return None
     best, best_iter = None, -1
@@ -98,6 +104,14 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         full = os.path.join(directory, entry)
         if m and os.path.isdir(full) and int(m.group(1)) > best_iter:
             best, best_iter = full, int(m.group(1))
+    final = os.path.join(directory, "FINAL")
+    if os.path.isdir(final):
+        try:
+            with open(os.path.join(final, _META_NAME)) as f:
+                if json.load(f)["iter"] >= best_iter:
+                    return final
+        except (OSError, KeyError, ValueError):
+            pass  # partial/foreign FINAL dir: fall back to periodic
     return best
 
 

@@ -51,12 +51,18 @@ class TrainConfig:
     mapping_depth: int = 8
     seed: int = 0
     compute_dtype: str = "bfloat16"  # "float32" for bit-parity runs
+    remat: bool = False  # jax.checkpoint the network applies inside the step:
+    # trades ~1/3 more FLOPs for much smaller live activation memory, which
+    # buys bigger batches at the 256/512px stages (benchmarks/RESULTS.md)
     data_axis: int = 1  # data-parallel mesh size (1 = single chip)
     model_axis: int = 1  # tensor-parallel mesh size
     checkpoint_dir: str = "./checkpoints"
     output_dir: str = "./output"
     mapping_lr_mult: float = 0.01  # StyleGAN mapping-net LR trick (train.py:63)
-    use_pallas: bool = False  # fused Pallas epilogues (ops/)
+    # NOTE: there is deliberately no `use_pallas` training knob — the Pallas
+    # epilogue is forward-only and measured slower than XLA fusion in the
+    # training path (benchmarks/RESULTS.md); it is exposed where it can run:
+    # serve.Sampler(use_pallas=...) and the sampling CLIs' --pallas flag.
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
@@ -105,11 +111,11 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         mapping_depth=int(get("mapping_depth", defaults.mapping_depth)),
         seed=int(get("seed", defaults.seed)),
         compute_dtype=get("compute_dtype", defaults.compute_dtype),
+        remat=str(get("remat", "False")) == "True",
         data_axis=int(get("data_axis", defaults.data_axis)),
         model_axis=int(get("model_axis", defaults.model_axis)),
         checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),
         output_dir=get("output_dir", defaults.output_dir),
-        use_pallas=str(get("use_pallas", "False")) == "True",
     )
 
 

@@ -72,9 +72,10 @@ def build_models(config: TrainConfig) -> Tuple[Generator, Critic]:
 
     dtype = _model_dtype(config)
     spec = model_spec(config)
-    # NOTE: the Pallas epilogue is forward-only (no custom VJP yet; see
-    # ops/fused.py) — the training generator always uses the lax path.
-    # ``use_pallas`` applies to inference surfaces (serve.Sampler).
+    # The training generator always uses the lax path: the Pallas epilogue is
+    # forward-only and measured slower end-to-end than XLA fusion here
+    # (benchmarks/RESULTS.md); inference surfaces opt in via
+    # serve.Sampler(use_pallas=...) / the CLIs' --pallas flag.
     return (
         build_generator(spec, dtype=dtype, use_pallas=False),
         build_critic(spec, dtype=dtype),
@@ -106,10 +107,10 @@ def train(
     os.makedirs(config.output_dir, exist_ok=True)
 
     alpha_saved: Optional[float] = None
-    last_stage = last_epoch = None
+    last_stage = None
     if checkpoint is not None:
         state, alpha_saved = restore_train_state(checkpoint, state)
-        last_stage, last_epoch = state.stage, state.epoch
+        last_stage = state.stage
 
     if mesh is None and (config.data_axis > 1 or config.model_axis > 1):
         from byogan_tpu.parallel.mesh import make_mesh
@@ -151,6 +152,31 @@ def train(
     total_iters = int(state.iters)
     alpha_for_ckpt: Optional[float] = alpha_saved
 
+    # Rolling loss windows — persistent across epoch/stage boundaries like
+    # the reference's whole-run history lists (train.py:87-88, sliced to the
+    # last refresh_stat_step entries at readout, train.py:223-229), so every
+    # readout after warmup averages exactly k iterations.  deque(maxlen=k)
+    # keeps only the window's device scalars alive.
+    from collections import deque
+
+    k = config.refresh_stat_step
+    c_hist: deque = deque(maxlen=k)
+    g_hist: deque = deque(maxlen=k)
+
+    # Pipelined metric readout: the window mean is DISPATCHED at its window
+    # boundary but fetched one window later, when it is long since computed —
+    # a synchronous float() right after dispatch costs a full pipeline drain
+    # (~190ms on the tunneled backend, measured in scripts/profile_hotloop.py)
+    # per window.  Log content is identical, just emitted one window late.
+    pending_log: Optional[tuple] = None
+
+    def flush_pending() -> None:
+        nonlocal pending_log
+        if pending_log is not None:
+            it0, ep0, st0, b0, cm, gm = pending_log
+            logger.log_step(it0, float(cm), float(gm), ep0, st0, b0)
+            pending_log = None
+
     for index in range(config.num_stages):
         steps = index + 1
         if last_stage is not None and steps < last_stage:
@@ -176,20 +202,39 @@ def train(
         # critic_repeats*batch per iteration) so the hot loop never blocks on
         # a device readback; one fetch only when resuming mid-stage.
         host_im_count = int(state.im_count) if resume_mid_stage else 0
+        # Batch-exact resume: the loader is deterministic given its seed, so
+        # the epoch AND intra-epoch position derive from im_count; the
+        # resumed epoch replays its RNG draws and skips already-trained
+        # batches.  (The reference re-runs the whole interrupted epoch,
+        # train.py:125-128 — ours continues bit-identically to the
+        # uninterrupted run; tests/test_train_loop.py.)
+        iters_done = host_im_count // (batch * config.critic_repeats)
+        resume_epoch = iters_done // n_batches if resume_mid_stage else 0
+        resume_skip = iters_done % n_batches if resume_mid_stage else 0
 
         print(f"STARTING STEP #{steps}")
 
         for epoch in range(stage_epochs):
-            if resume_mid_stage and last_epoch is not None and epoch < last_epoch:
+            if resume_mid_stage and epoch < resume_epoch:
                 continue
-            last_epoch = None
             state = state.replace(epoch=epoch)
 
+            # Multi-host: every host seeds the same global shuffle but decodes
+            # only its own row slice of each batch (per-host data sharding);
+            # the slices assemble into one global array in device_prefetch.
+            n_proc = jax.process_count() if mesh is not None else 1
             loader = make_stage_loader(
                 dataset,
                 batch,
                 seed=config.seed * 100003 + steps * 1009 + epoch,
                 workers=config.num_workers,
+                process_index=jax.process_index() if n_proc > 1 else 0,
+                process_count=n_proc,
+                skip_batches=(
+                    resume_skip
+                    if resume_mid_stage and epoch == resume_epoch
+                    else 0
+                ),
             )
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -199,9 +244,9 @@ def train(
                 )
             else:
                 batch_sharding = None
-            loader = device_prefetch(loader, sharding=batch_sharding)
-            c_hist: list = []
-            g_hist: list = []
+            loader = device_prefetch(
+                loader, sharding=batch_sharding, process_count=n_proc
+            )
             for real in loader:
                 repeats = config.critic_repeats
                 critic_fade = tuple(
@@ -236,18 +281,13 @@ def train(
                 # at the reference's refresh cadence (train.py:223-234).
                 c_hist.append(metrics["c_loss"])
                 g_hist.append(metrics["g_loss"])
-                k = config.refresh_stat_step
                 if total_iters % k == 0:
-                    c_hist, g_hist = c_hist[-k:], g_hist[-k:]
-                    logger.log_step(
-                        total_iters,
-                        float(jnp.stack(c_hist).mean()),
-                        float(jnp.stack(g_hist).mean()),
-                        epoch,
-                        steps,
-                        batch,
+                    flush_pending()
+                    pending_log = (
+                        total_iters, epoch, steps, batch,
+                        jnp.stack(list(c_hist)).mean(),
+                        jnp.stack(list(g_hist)).mean(),
                     )
-                    c_hist, g_hist = [], []
 
                 if total_iters > 0 and total_iters % config.display_step == 0:
                     _save_sample_grid(
@@ -260,6 +300,7 @@ def train(
                         model_spec=spec,
                     )
                 if max_iters is not None and total_iters >= max_iters:
+                    flush_pending()
                     logger.close()
                     save_checkpoint(
                         config.checkpoint_dir, state, alpha_for_ckpt,
@@ -277,6 +318,7 @@ def train(
     save_checkpoint(
         config.checkpoint_dir, state, None, name="FINAL", model_spec=spec
     )
+    flush_pending()
     logger.close()
     print("TRAINING IS FINISHED - MODEL SAVED!")
     return state

@@ -64,6 +64,13 @@ def make_train_step(
     use_r1 = config.use_r1
     c_lambda = config.c_lambda
     compute_dtype = jnp.dtype(config.compute_dtype)
+    remat = config.remat
+
+    def maybe_remat(fn):
+        # jax.checkpoint the whole-network apply: the backward (including the
+        # R1 second-order path) recomputes activations instead of holding
+        # them live — the memory lever for big-resolution stages.
+        return jax.checkpoint(fn) if remat else fn
 
     def alpha_of(im_count: jax.Array) -> jax.Array:
         return (im_count.astype(jnp.float32) + 0.0) / fade_in
@@ -93,8 +100,10 @@ def make_train_step(
             # (train.py:160)
 
             def c_loss_fn(cp):
-                crit = lambda imgs: critic.apply(  # noqa: E731
-                    {"params": cp}, imgs, steps=steps, alpha=alpha
+                crit = maybe_remat(
+                    lambda imgs: critic.apply(
+                        {"params": cp}, imgs, steps=steps, alpha=alpha
+                    )
                 )
                 if use_r1:
                     return losses.critic_r1_loss(crit, real, fake, c_lambda)
@@ -119,10 +128,16 @@ def make_train_step(
         noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
 
         def g_loss_fn(gp):
-            fake = gen.apply({"params": gp}, z, noise, steps=steps, alpha=alpha_g)
-            pred = critic.apply(
-                {"params": c_params}, fake, steps=steps, alpha=alpha_g
-            )
+            fake = maybe_remat(
+                lambda z_: gen.apply(
+                    {"params": gp}, z_, noise, steps=steps, alpha=alpha_g
+                )
+            )(z)
+            pred = maybe_remat(
+                lambda imgs: critic.apply(
+                    {"params": c_params}, imgs, steps=steps, alpha=alpha_g
+                )
+            )(fake)
             if use_r1:
                 return losses.gen_logistic_loss(pred)
             return losses.gen_wgan_loss(pred)

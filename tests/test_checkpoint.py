@@ -54,6 +54,24 @@ def test_latest_checkpoint(tmp_path):
     assert latest_checkpoint(str(tmp_path / "nope")) is None
 
 
+def test_latest_checkpoint_prefers_final(tmp_path):
+    """After a completed run, auto-resume must pick FINAL (train.py:271),
+    not the last periodic chk-N — FINAL carries the latest (or equal)
+    iteration count by construction."""
+    config = small_config()
+    gen, critic, state = build(config)
+    save_checkpoint(str(tmp_path), state.replace(iters=jnp.int32(100)), 0.5)
+    save_checkpoint(
+        str(tmp_path), state.replace(iters=jnp.int32(100)), None, name="FINAL"
+    )
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("FINAL")
+    # a periodic checkpoint NEWER than FINAL (fresh run in an old dir) wins
+    save_checkpoint(str(tmp_path), state.replace(iters=jnp.int32(150)), 0.2)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("chk-150")
+
+
 def test_alpha_none_round_trip(tmp_path):
     config = small_config()
     gen, critic, state = build(config)

@@ -77,14 +77,40 @@ def test_loader_cache_consistency(prepared):
     )
 
 
+def test_per_host_sharded_loader(prepared):
+    """Multi-host data sharding: the concatenation of every simulated host's
+    local batches equals the single-process global stream exactly (same
+    shuffle, same flips), so each host decodes only its 1/P row slice."""
+    ds = StageDataset(prepared, 2)
+    kw = dict(batch_size=4, seed=5, epochs=2)
+    full = list(make_stage_loader(ds, **kw))
+    parts = [
+        list(
+            make_stage_loader(
+                ds, process_index=p, process_count=2, **kw
+            )
+        )
+        for p in range(2)
+    ]
+    assert len(parts[0]) == len(full) and len(parts[1]) == len(full)
+    for b_full, b0, b1 in zip(full, parts[0], parts[1]):
+        assert b0.shape[0] == 2 and b1.shape[0] == 2  # local rows = 4/2
+        np.testing.assert_array_equal(np.concatenate([b0, b1]), b_full)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        next(iter(make_stage_loader(ds, 5, process_count=2)))
+
+
 def test_missing_dataset_raises(tmp_path):
     with pytest.raises(OSError, match="Did not detect prepared dataset"):
         StageDataset(str(tmp_path), 1)
 
 
 def test_derived_stage_dataset(prepared, tmp_path):
-    """A stage whose set is missing derives from the next higher set by exact
-    box downsampling (single multi-res source mode)."""
+    """A stage whose set is missing derives from the next higher set with
+    prep's own bilinear filter (single multi-res source mode) — derived
+    pixels must equal what prep.py actually wrote for that stage (within
+    1 LSB of PIL's fixed-point resampling)."""
     import shutil
 
     from byogan_tpu.data.pipeline import open_stage_dataset
@@ -97,12 +123,26 @@ def test_derived_stage_dataset(prepared, tmp_path):
     derived = open_stage_dataset(root, 1)
     assert derived.derive_shift == 1
     idx = np.arange(len(direct))
-    d = derived.get_batch_uint8(idx)
-    assert d.shape == direct.get_batch_uint8(idx).shape
-    # derived pixels equal the box-downsampled set_2 pixels
-    src = StageDataset(root, 2).get_batch_uint8(idx).astype(np.uint32)
-    want = (src.reshape(-1, 4, 2, 4, 2, 3).sum(axis=(2, 4)) + 2) // 4
-    np.testing.assert_array_equal(d, want.astype(np.uint8))
+    d = derived.get_batch_uint8(idx).astype(np.int16)
+    want = direct.get_batch_uint8(idx).astype(np.int16)
+    assert d.shape == want.shape
+    assert np.abs(d - want).max() <= 1
+
+
+def test_downsample_matches_pil_bilinear():
+    """_downsample_u8 == PIL Image.resize(BILINEAR) for an exact 2x factor
+    (the filter prep.py uses for every pyramid level), within 1 LSB."""
+    from PIL import Image
+
+    from byogan_tpu.data.pipeline import _downsample_u8
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    pil = np.asarray(
+        Image.fromarray(img).resize((16, 16), Image.BILINEAR), dtype=np.int16
+    )
+    ours = _downsample_u8(img, 1).astype(np.int16)
+    assert np.abs(ours - pil).max() <= 1
 
 
 def test_open_stage_dataset_prefers_direct(prepared):

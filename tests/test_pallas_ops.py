@@ -77,8 +77,10 @@ def test_generator_with_pallas_flag_matches(monkeypatch):
         return _pallas_interpret(x, noise, w, gamma, beta, eps)
 
     import byogan_tpu.ops.pallas_adain as pa
+    from byogan_tpu.ops import pallas_styleconv as sc
 
     monkeypatch.setattr(pa, "noise_lrelu_adain_pallas", fake_pallas)
+    monkeypatch.setattr(sc, "_INTERPRET", True)  # fused conv path, stage 2
 
     channels = ((32, 32), (32, 16))
     key = jax.random.PRNGKey(1)
@@ -91,56 +93,71 @@ def test_generator_with_pallas_flag_matches(monkeypatch):
     params = gen_lax.init(key, z, noise, steps=2)
     a = gen_lax.apply(params, z, noise, steps=2)
     b = gen_pl.apply(params, z, noise, steps=2)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
-def test_styleconv_kernel_matches_lax_composition():
-    """Fused conv3x3+epilogue kernel vs conv + lax epilogue (interpret)."""
-    import functools
+def _styleconv_inputs(n=4, h=8, w=8, cin=16, cout=24, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    return dict(
+        x=jax.random.normal(ks[0], (n, h, w, cin)),
+        weight=jax.random.normal(ks[1], (3, 3, cin, cout)) * 0.1,
+        bias=jax.random.normal(ks[2], (cout,)) * 0.1,
+        noise=jax.random.normal(ks[3], (n, h, w, 1)),
+        noise_w=jax.random.normal(ks[4], (cout,)) * 0.1,
+        gamma=1 + 0.1 * jax.random.normal(ks[5], (n, cout)),
+        beta=0.1 * jax.random.normal(ks[6], (n, cout)),
+    )
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    from byogan_tpu.ops import pallas_styleconv as sc
-    from byogan_tpu.ops.fused import noise_lrelu_adain_lax
-
-    n, h, w, cin, cout = 2, 8, 8, 16, 24
-    ks = jax.random.split(jax.random.PRNGKey(0), 7)
-    x = jax.random.normal(ks[0], (n, h, w, cin))
-    weight = jax.random.normal(ks[1], (3, 3, cin, cout)) * 0.1
-    bias = jax.random.normal(ks[2], (cout,)) * 0.1
-    noise = jax.random.normal(ks[3], (n, h, w, 1))
-    nw = jax.random.normal(ks[4], (cout,)) * 0.1
-    gamma = 1 + 0.1 * jax.random.normal(ks[5], (n, cout))
-    beta = 0.1 * jax.random.normal(ks[6], (n, cout))
-
+def _styleconv_lax(x, weight, bias, noise, noise_w, gamma, beta):
     conv = jax.lax.conv_general_dilated(
         x, weight, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    want = noise_lrelu_adain_lax(conv + bias, noise, nw, gamma, beta)
+    return noise_lrelu_adain_lax(conv + bias, noise, noise_w, gamma, beta)
 
-    got = pl.pallas_call(
-        functools.partial(sc._kernel, eps=1e-8),
-        out_shape=jax.ShapeDtypeStruct((n, h * w, cout), x.dtype),
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec(),
-            pl.BlockSpec(),
-            pl.BlockSpec((1, h * w, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec(),
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h * w, cout), lambda i: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2, w + 2, cin), x.dtype),
-            pltpu.VMEM((h * w, cout), jnp.float32),
-        ],
-        interpret=True,
-    )(
-        x, weight, bias.reshape(1, cout), noise.reshape(n, h * w, 1),
-        nw.reshape(1, cout), gamma.reshape(n, 1, cout), beta.reshape(n, 1, cout),
-    ).reshape(n, h, w, cout)
+
+def test_styleconv_kernel_matches_lax_composition(monkeypatch):
+    """Batched-grid fused conv3x3+epilogue vs conv + lax epilogue, through
+    the module's own dispatch (interpret mode; nb>1 exercises batching)."""
+    from byogan_tpu.ops import pallas_styleconv as sc
+
+    monkeypatch.setattr(sc, "_INTERPRET", True)
+    ins = _styleconv_inputs()
+    want = _styleconv_lax(**ins)
+    got = sc.styleconv_pallas(**ins)
+    # precondition: the picked block really batches multiple samples
+    assert sc._pick_nb(4, 8, 8, 16, 24, 4, False) > 1
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_styleconv_custom_vjp_matches_lax_grads(monkeypatch):
+    """The custom_vjp backward (closed-form from kernel residuals) equals
+    jax.grad of the lax composition for EVERY argument."""
+    from byogan_tpu.ops import pallas_styleconv as sc
+
+    monkeypatch.setattr(sc, "_INTERPRET", True)
+    ins = _styleconv_inputs(seed=2)
+    args = tuple(
+        ins[k]
+        for k in ("x", "weight", "bias", "noise", "noise_w", "gamma", "beta")
+    )
+
+    def loss_lax(*a):
+        out = _styleconv_lax(*a)
+        return (out * jnp.cos(out)).sum()  # nontrivial cotangent
+
+    def loss_pl(*a):
+        out = sc.styleconv(*a)
+        return (out * jnp.cos(out)).sum()
+
+    want = jax.grad(loss_lax, argnums=tuple(range(7)))(*args)
+    got = jax.grad(loss_pl, argnums=tuple(range(7)))(*args)
+    for name, w_, g_ in zip(
+        ("x", "weight", "bias", "noise", "noise_w", "gamma", "beta"),
+        want, got,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w_), atol=2e-4, rtol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )

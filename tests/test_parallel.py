@@ -70,6 +70,60 @@ def test_sharded_train_step_runs(data, model):
     assert got_specs == want_specs
 
 
+@pytest.mark.parametrize(
+    "critic_fade,gen_fade", [((False,), False), ((True,), True)]
+)
+def test_dp_tp_matches_single_device(critic_fade, gen_fade):
+    """DP=4 x TP=2 must compute the SAME losses and updated params as a
+    single device — with tp_min_features lowered so the small model's
+    64/32-wide weights are genuinely sharded over the model axis (a wrong
+    TP resharding that perturbs values fails this test).  Covers both the
+    fade and no-fade compile buckets."""
+    config = small_config()
+    gen, critic, state = build(config)
+    mesh = make_mesh(data=4, model=2)
+    tp_min = 32
+
+    batch = 8
+    real = jnp.asarray(
+        np.random.default_rng(2).normal(size=(batch, 8, 8, 3)), jnp.float32
+    )
+    step_fn = make_train_step(
+        gen, critic, config,
+        steps=2, batch=batch, fade_in=100.0,
+        critic_fade=critic_fade, gen_fade=gen_fade, donate=False,
+    )
+    s_single, m_single = step_fn(state, real)
+
+    state_sharded = shard_train_state(state, mesh, tp_min_features=tp_min)
+    # the lowered threshold must actually shard something over "model"
+    shardings = tree_shardings(state.gen_params, mesh, tp_min_features=tp_min)
+    assert any(
+        "model" in str(s.spec) for s in jax.tree.leaves(shardings)
+    ), "test precondition: no TP-sharded leaves"
+    s_sharded, m_sharded = step_fn(state_sharded, shard_batch(real, mesh))
+
+    np.testing.assert_allclose(
+        float(m_single["c_loss"]), float(m_sharded["c_loss"]), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_single["g_loss"]), float(m_sharded["g_loss"]), rtol=2e-5
+    )
+    # Tolerance note: sharded collectives reassociate float sums, and Adam's
+    # m/sqrt(v) amplifies that for near-zero second moments at step 1 —
+    # observed worst case 4e-4 relative on 1/18432 elements.  A WRONG
+    # resharding corrupts a large fraction of elements by O(1), far outside
+    # this band.
+    for net in ("gen_params", "critic_params"):
+        for a, b in zip(
+            jax.tree.leaves(getattr(s_single, net)),
+            jax.tree.leaves(getattr(s_sharded, net)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+            )
+
+
 def test_dp_matches_single_device():
     """The sharded step computes the same update as the unsharded step."""
     config = small_config()

@@ -49,9 +49,22 @@ def test_sampler_deterministic_given_seed(ckpt):
 
 
 def test_sampler_on_mesh(ckpt):
+    from jax.sharding import PartitionSpec as P
+
     from byogan_tpu.parallel.mesh import make_mesh
+
+    import jax
 
     mesh = make_mesh(data=4, model=1)
     s = Sampler(ckpt, batch=8, z_dim=32, dtype="float32", mesh=mesh, seed=2)
+    # the compiled synthesis really shards the batch over the data axis
+    # (z AND the per-stage noise maps are pinned, not left to propagation);
+    # probe with a throwaway key so the sampler's own stream is untouched
+    dev_out = s._synth(s._params, jax.random.PRNGKey(0))
+    spec = dev_out.sharding.spec
+    assert len(spec) >= 1 and spec[0] == "data", spec
     out = s.sample(8)
     assert out.shape == (8, 16, 16, 3)
+    # mesh output matches the single-device sampler bit-for-bit
+    single = Sampler(ckpt, batch=8, z_dim=32, dtype="float32", seed=2)
+    np.testing.assert_array_equal(out, single.sample(8))
