@@ -151,6 +151,7 @@ def train(
     eval_cache: Dict[tuple, object] = {}
     total_iters = int(state.iters)
     alpha_for_ckpt: Optional[float] = alpha_saved
+    cur_epoch = int(state.epoch)  # host-side mirror; see NOTE in epoch loop
 
     # Rolling loss windows — persistent across epoch/stage boundaries like
     # the reference's whole-run history lists (train.py:87-88, sliced to the
@@ -217,7 +218,12 @@ def train(
         for epoch in range(stage_epochs):
             if resume_mid_stage and epoch < resume_epoch:
                 continue
-            state = state.replace(epoch=epoch)
+            # NOTE: epoch is deliberately NOT folded into `state` here —
+            # TrainState.epoch is a STATIC pytree field, so changing it
+            # per epoch would force a full re-trace + XLA recompile of the
+            # step every epoch (measured: ~1.5s and a ~65MB leaked
+            # executable per epoch).  It is folded in only at save time.
+            cur_epoch = epoch
 
             # Multi-host: every host seeds the same global shuffle but decodes
             # only its own row slice of each batch (per-host data sharding);
@@ -296,12 +302,13 @@ def train(
                     )
                 if total_iters > 0 and total_iters % config.checkpoint_step == 0:
                     save_checkpoint(
-                        config.checkpoint_dir, state, alpha_for_ckpt,
-                        model_spec=spec,
+                        config.checkpoint_dir, state.replace(epoch=epoch),
+                        alpha_for_ckpt, model_spec=spec,
                     )
                 if max_iters is not None and total_iters >= max_iters:
                     flush_pending()
                     logger.close()
+                    state = state.replace(epoch=epoch)
                     save_checkpoint(
                         config.checkpoint_dir, state, alpha_for_ckpt,
                         model_spec=spec,
@@ -309,6 +316,7 @@ def train(
                     return state
         last_stage = None
 
+    state = state.replace(epoch=cur_epoch)
     # Final artifacts (train.py:261-275): sample grid + FINAL checkpoint with
     # alpha=None.
     _save_sample_grid(
