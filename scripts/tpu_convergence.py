@@ -38,13 +38,35 @@ def channel_stats(imgs):
 
 
 def generated_stats(checkpoint: str, n: int = 64):
+    """Channel stats of n generated samples mapped to [0,1].
+
+    The generator models the training distribution in [-1,1] (pipeline
+    normalization), so outputs are mapped (x+1)/2 before comparing with the
+    [0,1] real pixels — the Sampler's raw-save uint8 path would crush the
+    negative half to black (reference save parity) and bias the stats.
+    """
+    import jax
     import numpy as np
 
-    from byogan_tpu.serve import Sampler
+    from byogan_tpu.core.random import synthesis_noise, truncated_noise
+    from byogan_tpu.models.factory import (
+        ModelSpec,
+        build_generator,
+        z_dim_from_params,
+    )
+    from byogan_tpu.train.checkpoint import load_checkpoint
 
-    sampler = Sampler(checkpoint, batch=n, seed=123)
-    imgs = sampler.sample(n).astype(np.float32) / 255.0
-    return channel_stats(imgs)
+    save = load_checkpoint(checkpoint)
+    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    kz, kn = jax.random.split(jax.random.PRNGKey(123))
+    z = truncated_noise(kz, n, z_dim_from_params(save["gen_params"]), 0.75)
+    noise = synthesis_noise(kn, n, save["step"])
+    x = gen.apply(
+        {"params": save["gen_params"]}, z, noise, steps=save["step"],
+        alpha=None,
+    )
+    x01 = np.clip((np.asarray(x, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+    return channel_stats(x01)
 
 
 def main() -> None:
@@ -67,8 +89,13 @@ def main() -> None:
     if not os.path.isdir(os.path.join(data, "prepared")):
         write_synthetic_dataset(data, n_images=256, size=32, seed=3)
         prepare_pyramid(data, 4, 32)
-    for stale in ("checkpoints", "output"):
-        shutil.rmtree(os.path.join(out_root, stale), ignore_errors=True)
+    # Re-verify an existing completed run without retraining.
+    verify_only = os.environ.get("BYOGAN_CONV_VERIFY_ONLY") == "1" and (
+        os.path.isdir(os.path.join(out_root, "checkpoints", "FINAL"))
+    )
+    if not verify_only:
+        for stale in ("checkpoints", "output"):
+            shutil.rmtree(os.path.join(out_root, stale), ignore_errors=True)
 
     config = TrainConfig(
         data=data,
@@ -83,8 +110,15 @@ def main() -> None:
     )
 
     t0 = time.time()
-    train(config)
-    wall = time.time() - t0
+    if not verify_only:
+        train(config)
+        wall = time.time() - t0
+    else:  # keep the original training wall time from the existing summary
+        try:
+            with open(os.path.join(out_root, "summary.json")) as f:
+                wall = json.load(f)["wall_seconds"]
+        except (OSError, KeyError, ValueError):
+            wall = 0.0
 
     # ---- verify the run learned ----
     metrics = [
