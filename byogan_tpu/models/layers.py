@@ -260,16 +260,20 @@ class StyleConvBlock(nn.Module):
             if self.use_pallas:
                 from byogan_tpu.ops.pallas_styleconv import (
                     styleconv,
+                    styleconv_profitable,
                     styleconv_supported,
                 )
 
                 if styleconv_supported(
                     x.shape, x.shape[-1], self.out_channels,
-                    x.dtype.itemsize, for_training=True,
+                    x.dtype.itemsize,
+                ) and styleconv_profitable(
+                    x.shape, x.shape[-1], self.out_channels
                 ):
                     # Whole synthesis conv in one differentiable Pallas
                     # kernel (conv + noise + lrelu + AdaIN; custom_vjp with
-                    # closed-form lax backward).
+                    # closed-form lax backward) — only on shapes where it
+                    # measures faster than XLA (styleconv_profitable).
                     return styleconv(
                         x,
                         _maybe_cast(w * scale, x.dtype),
@@ -280,13 +284,17 @@ class StyleConvBlock(nn.Module):
                         beta,
                     )
             out = equalized_conv_apply(x, w, b, scale, padding=1)
+        # Epilogue: always the lax path inside the model — the epilogue-only
+        # Pallas kernel wins isolated but LOSES end-to-end (the custom-call
+        # boundary stops XLA fusing it into the producing conv; RESULTS.md
+        # round 1).  Whole-conv fusion above is the winning use of Pallas.
         return noise_lrelu_adain(
             out,
             noise.astype(out.dtype),
             self.noise.weight,
             gamma,
             beta,
-            use_pallas=self.use_pallas,
+            use_pallas=False,
         )
 
 

@@ -46,7 +46,7 @@ _INTERPRET = False
 def _kernel(x_ref, w_ref, b_ref, noise_ref, nw_ref, gamma_ref, beta_ref,
             *refs, eps, nb, emit_hv):
     if emit_hv:
-        out_ref, hv_ref, mean_ref, inv_ref, xpad_ref = refs
+        out_ref, hv_ref, xpad_ref = refs
     else:
         (out_ref, xpad_ref) = refs
     h = x_ref.shape[1]
@@ -88,9 +88,11 @@ def _kernel(x_ref, w_ref, b_ref, noise_ref, nw_ref, gamma_ref, beta_ref,
     out = scale[:, None, :] * hv3 + shift[:, None, :]
     out_ref[:] = out.astype(out_ref.dtype)
     if emit_hv:
+        # Residual for the custom_vjp backward.  mean/inv are deliberately
+        # NOT emitted: (nb, Cout) output blocks violate Mosaic's 8-sublane
+        # rule when nb < 8, and the backward recomputes them from hv in two
+        # cheap f32 reductions anyway.
         hv_ref[:] = hv3.astype(hv_ref.dtype)
-        mean_ref[:] = mean
-        inv_ref[:] = inv
 
 
 def _pick_nb(n: int, h: int, w: int, cin: int, cout: int, itemsize: int,
@@ -128,6 +130,22 @@ def styleconv_supported(shape, cin: int, cout: int,
     return _pick_nb(n, h, w, cin, cout, itemsize, for_training) >= 1
 
 
+def styleconv_profitable(shape, cin: int, cout: int,
+                         for_training: bool = False) -> bool:
+    """Measured dispatch gate (v5e, benchmarks/styleconv_r2 in RESULTS.md).
+
+    Training (fwd+bwd): the kernel never beats XLA (0.76-1.00x across all six
+    model shapes) — always False.  Forward-only: wins at 8x8 (1.10x, nb=16)
+    and 64x64 (1.15-1.20x); 16x16/32x32 are parity-to-slightly-negative, so
+    they stay on the lax path.
+    """
+    if for_training:
+        return False
+    _, h, w, _ = shape
+    hw = h * w
+    return hw <= 64 or hw >= 4096
+
+
 def _call_kernel(x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv):
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
@@ -143,15 +161,9 @@ def _call_kernel(x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv):
     if emit_hv:
         out_shapes += [
             jax.ShapeDtypeStruct((n, hw, cout), x.dtype),
-            jax.ShapeDtypeStruct((n, cout), jnp.float32),
-            jax.ShapeDtypeStruct((n, cout), jnp.float32),
         ]
         out_specs += [
             pl.BlockSpec((nb, hw, cout), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, cout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, cout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
     res = pl.pallas_call(
@@ -230,10 +242,10 @@ def styleconv(x, weight, bias, noise, noise_w, gamma, beta, eps=1e-8):
 def _styleconv_fwd(x, weight, bias, noise, noise_w, gamma, beta, eps):
     n, h, w, _ = x.shape
     cout = weight.shape[-1]
-    out, hv, mean, inv = _call_kernel(
+    out, hv = _call_kernel(
         x, weight, bias, noise, noise_w, gamma, beta, eps, emit_hv=True
     )
-    res = (x, weight, noise, noise_w, gamma, hv, mean, inv)
+    res = (x, weight, noise, noise_w, gamma, hv)
     return out.reshape(n, h, w, cout), res
 
 
@@ -243,15 +255,19 @@ def _styleconv_bwd(eps, res, dy):
     Instance-norm backward + LeakyReLU mask recovered from the sign of the
     saved pre-norm activations (LeakyReLU preserves sign), then XLA's own
     transposed convolutions via jax.vjp of the linear conv (the primal
-    output is dead code and DCE'd).
+    output is dead code and DCE'd).  The per-sample mean/inv are recomputed
+    from the saved hv (two f32 reductions) rather than emitted by the kernel.
     """
-    x, weight, noise, noise_w, gamma, hv, mean, inv = res
+    x, weight, noise, noise_w, gamma, hv = res
     n, h, w, cin = x.shape
     cout = weight.shape[-1]
     hw = h * w
 
     dy3 = dy.reshape(n, hw, cout).astype(jnp.float32)
     hv3 = hv.astype(jnp.float32)                      # (n, hw, cout)
+    mean = hv3.mean(axis=1)                           # (n, cout)
+    var = jnp.maximum((hv3 * hv3).mean(axis=1) - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
     hhat = (hv3 - mean[:, None, :]) * inv[:, None, :]
 
     dgamma = (dy3 * hhat).sum(axis=1).astype(gamma.dtype)   # (n, cout)
