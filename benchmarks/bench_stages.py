@@ -18,7 +18,9 @@ from byogan_tpu.train.config import TrainConfig
 from byogan_tpu.train.state import create_train_state
 from byogan_tpu.train.steps import make_train_step
 
-# (batch, remat) points per stage; first entry = round-1 configuration.
+# (batch, remat) points per stage; first entry = best measured config
+# (RESULTS.md round-2 roofline table).  Stage 7's batch 64 is +9% over 32;
+# stage 8 is HBM-bound at any batch and remat always costs 25-30%.
 SWEEP = {
     1: [(512, False)],
     2: [(512, False)],
@@ -26,8 +28,8 @@ SWEEP = {
     4: [(256, False)],
     5: [(128, False)],
     6: [(128, False)],
-    7: [(32, False), (64, False), (64, True), (128, True)],
-    8: [(8, False), (16, False), (16, True), (32, True), (64, True)],
+    7: [(64, False), (32, False), (64, True), (128, True)],
+    8: [(8, False), (16, False), (16, True), (32, True)],
 }
 
 
@@ -66,10 +68,25 @@ def main():
                     "remat": remat, "error": str(e)[:160],
                 }), flush=True)
                 continue
+            # XLA's own per-step cost — makes the roofline verdict (MXU- vs
+            # HBM-bound) reproducible from this artifact.  v5e: 197 bf16
+            # TFLOPS, ~819 GB/s HBM.
+            flops = bytes_acc = None
+            try:
+                cost = step_fn.lower(state, real).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0)) or None
+                bytes_acc = float(cost.get("bytes accessed", 0)) or None
+            except Exception:
+                pass
+            sec = dt / iters
             print(json.dumps({
                 "stage": stage, "px": size, "batch": batch, "remat": remat,
                 "images_per_sec": round(iters * batch / dt, 1),
-                "ms_per_iter": round(dt / iters * 1e3, 1),
+                "ms_per_iter": round(sec * 1e3, 1),
+                "achieved_tflops": round(flops / sec / 1e12, 1) if flops else None,
+                "hbm_gbps": round(bytes_acc / sec / 1e9, 1) if bytes_acc else None,
             }), flush=True)
 
 
