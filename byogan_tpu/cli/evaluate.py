@@ -1,0 +1,109 @@
+"""Evaluation CLI (``byogan-eval``) — TPU-native extension, no reference
+equivalent.
+
+Computes the multi-scale sliced Wasserstein distance (eval/swd.py) between
+N generated samples from a checkpoint and N random real images from a
+prepared dataset at the checkpoint's stage resolution, and prints one JSON
+line.  Lower is better; values are only comparable across runs of this
+implementation (see eval/swd.py docstring).
+
+Truncation defaults to 1.0 here (not the sampling CLIs' 0.75): evaluation
+should compare the model's actual output distribution, and truncation
+deliberately narrows it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Sliced Wasserstein distance: checkpoint vs dataset"
+    )
+    parser.add_argument("model", help="checkpoint (ours or reference .pth)")
+    parser.add_argument("data", help="dataset root (contains prepared/)")
+    parser.add_argument(
+        "-n", "--images", default=256, type=int,
+        help="images per side (real and fake); more = less noisy",
+    )
+    parser.add_argument(
+        "--batch", default=32, type=int, help="synthesis batch size"
+    )
+    parser.add_argument(
+        "-t", "--truncation", default=1.0, type=float,
+        help="truncation boundary (1.0 = untruncated distribution)",
+    )
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="evaluate the EMA generator weights",
+    )
+    parser.add_argument(
+        "--patches", default=128, type=int,
+        help="descriptor patches per image per pyramid level",
+    )
+    parser.add_argument(
+        "--seed", default=0, type=int,
+        help="PRNG seed (real-image choice, patch sites, projections)",
+    )
+    parser.add_argument(
+        "-d", "--device", default=None, type=str,
+        help="jax platform to run on (cpu/tpu; default: jax's default)",
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from byogan_tpu.core.cache import enable_compilation_cache
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    enable_compilation_cache()
+    import numpy as np
+
+    from byogan_tpu.data.pipeline import open_stage_dataset
+    from byogan_tpu.eval.swd import sliced_wasserstein_distance
+    from byogan_tpu.serve import Sampler
+
+    sampler = Sampler(
+        args.model,
+        batch=min(args.batch, args.images),
+        truncation=args.truncation,
+        seed=args.seed,
+        use_ema=args.ema,
+    )
+    resolution = sampler.resolution
+
+    dataset = open_stage_dataset(args.data, sampler.steps)
+    rng = np.random.default_rng(args.seed)
+    n = args.images
+    if len(dataset) >= n:
+        idx = rng.choice(len(dataset), size=n, replace=False)
+    else:
+        idx = rng.choice(len(dataset), size=n, replace=True)
+    real = dataset.get_batch_uint8(np.sort(idx))
+    fake = sampler.sample(n)
+
+    result = sliced_wasserstein_distance(
+        real,
+        fake,
+        jax.random.PRNGKey(args.seed),
+        patches_per_image=args.patches,
+        min_size=min(16, resolution),
+    )
+    mean = result.pop(0)
+    print(json.dumps({
+        "metric": "swd_x1e3",
+        "resolution": resolution,
+        "n_images": n,
+        "ema": bool(args.ema),
+        "truncation": args.truncation,
+        "per_level": {str(k): round(v, 3) for k, v in result.items()},
+        "mean": round(mean, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Export checkpoint to .pth")
     parser.add_argument("checkpoint", help="byogan_tpu checkpoint directory")
     parser.add_argument("output", help="output .pth path")
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="export the EMA generator weights into the .pth 'gen' slot "
+        "(the reference format has no EMA concept)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -26,6 +31,13 @@ def main(argv=None):
     from byogan_tpu.train.checkpoint import load_checkpoint
 
     save = load_checkpoint(args.checkpoint)
+    if args.ema:
+        if save.get("gen_ema") is None:
+            raise SystemExit(
+                f"--ema: {args.checkpoint} carries no EMA weights "
+                "(train with ema_beta > 0)"
+            )
+        save["gen_params"] = save["gen_ema"]
     spec = ModelSpec.from_dict(save.get("model"))
     if not spec.is_reference_compatible:
         raise SystemExit(

@@ -54,6 +54,11 @@ def main(argv=None):
         help="use the fused Pallas synthesis kernels (TPU only; off by "
         "default — see benchmarks/RESULTS.md for when they win)",
     )
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="sample from the EMA generator weights (checkpoints trained "
+        "with ema_beta > 0)",
+    )
     args = parser.parse_args(argv)
 
     if args.output_dir is not None and not os.path.exists(args.output_dir):
@@ -77,6 +82,13 @@ def main(argv=None):
     from byogan_tpu.train.checkpoint import load_checkpoint
 
     save = load_checkpoint(args.model)
+    if args.ema:
+        if save.get("gen_ema") is None:
+            raise SystemExit(
+                f"--ema: {args.model} carries no EMA weights "
+                "(train with ema_beta > 0)"
+            )
+        save["gen_params"] = save["gen_ema"]
     steps, alpha = save["step"], save["alpha"]
     if args.z_size is None:
         args.z_size = z_dim_from_params(save["gen_params"])

@@ -41,6 +41,11 @@ def main(argv=None):
         "--pallas", action="store_true",
         help="use the fused Pallas synthesis kernels (TPU only)",
     )
+    parser.add_argument(
+        "--ema", action="store_true",
+        help="render from the EMA generator weights (checkpoints trained "
+        "with ema_beta > 0)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -64,6 +69,13 @@ def main(argv=None):
 
     os.makedirs(args.output, exist_ok=True)
     save = load_checkpoint(args.checkpoint)
+    if args.ema:
+        if save.get("gen_ema") is None:
+            raise SystemExit(
+                f"--ema: {args.checkpoint} carries no EMA weights "
+                "(train with ema_beta > 0)"
+            )
+        save["gen_params"] = save["gen_ema"]
     steps, alpha = save["step"], save["alpha"]
     if args.z_size is None:
         args.z_size = z_dim_from_params(save["gen_params"])

@@ -122,6 +122,10 @@ def shard_train_state(state, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
         critic_params=place(state.critic_params),
         gen_opt_state=place(state.gen_opt_state),
         critic_opt_state=place(state.critic_opt_state),
+        # EMA leaves mirror gen_params' paths, so the same TP rules apply.
+        gen_ema=(
+            place(state.gen_ema) if state.gen_ema is not None else None
+        ),
         rng=jax.device_put(state.rng, replicated),
         iters=jax.device_put(state.iters, replicated),
         im_count=jax.device_put(state.im_count, replicated),

@@ -53,11 +53,21 @@ class Sampler:
         mesh=None,
         seed: Optional[int] = None,
         use_pallas: bool = False,
+        use_ema: bool = False,
     ):
         """``use_pallas`` switches synthesis to the fused Pallas epilogue
         (ops/fused.py) — measured slower end-to-end than XLA fusion at 512px
-        (benchmarks/RESULTS.md), exposed for shapes/hardware where it wins."""
+        (benchmarks/RESULTS.md), exposed for shapes/hardware where it wins.
+        ``use_ema`` samples from the EMA generator weights (checkpoints from
+        runs with ``ema_beta > 0``; errors if the checkpoint has none)."""
         save = load_checkpoint(checkpoint)
+        if use_ema:
+            if save.get("gen_ema") is None:
+                raise ValueError(
+                    f"use_ema=True but {checkpoint} carries no EMA weights "
+                    "(train with ema_beta > 0)"
+                )
+            save["gen_params"] = save["gen_ema"]
         self.steps: int = save["step"]
         self.alpha = save["alpha"]
         self.batch = batch

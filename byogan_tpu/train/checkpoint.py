@@ -70,6 +70,8 @@ def save_checkpoint(
         "iters": state.iters,
         "im_count": state.im_count,
     }
+    if state.gen_ema is not None:
+        tree["gen_ema"] = state.gen_ema
     _checkpointer().save(path, tree, force=True)  # orbax write is atomic
     meta = {
         "iter": int(state.iters),
@@ -79,6 +81,7 @@ def save_checkpoint(
         "alpha": None if alpha is None else float(alpha),
         "format": "byogan_tpu.v1",
         "model": model_spec.to_dict() if model_spec is not None else None,
+        "ema": state.gen_ema is not None,
     }
     meta_path = os.path.join(path, _META_NAME)
     tmp = meta_path + ".tmp"
@@ -132,6 +135,12 @@ def load_checkpoint(
 
         return load_torch_checkpoint(path)
 
+    # Meta first: whether the saved tree carries an EMA branch decides the
+    # restore template's structure (orbax requires an exact match).
+    with open(os.path.join(path, _META_NAME)) as f:
+        meta = json.load(f)
+    has_ema = bool(meta.get("ema", False))
+
     template = None
     if template_state is not None:
         template = {
@@ -143,15 +152,20 @@ def load_checkpoint(
             "iters": template_state.iters,
             "im_count": template_state.im_count,
         }
+        if has_ema:
+            template["gen_ema"] = (
+                template_state.gen_ema
+                if template_state.gen_ema is not None
+                else template_state.gen_params
+            )
     tree = _checkpointer().restore(os.path.abspath(path), item=template)
-    with open(os.path.join(path, _META_NAME)) as f:
-        meta = json.load(f)
     return {
         "gen_params": tree["gen_params"],
         "critic_params": tree["critic_params"],
         "gen_opt_state": tree.get("gen_opt_state"),
         "critic_opt_state": tree.get("critic_opt_state"),
         "rng": tree.get("rng"),
+        "gen_ema": tree.get("gen_ema"),
         "iter": meta["iter"],
         "im_count": meta["im_count"],
         "step": meta["step"],
@@ -170,9 +184,20 @@ def restore_train_state(
     import jax.numpy as jnp
 
     loaded = load_checkpoint(path, template_state)
+    gen_ema = template_state.gen_ema
+    if gen_ema is not None:
+        # EMA-enabled run: adopt the checkpoint's shadow, or (resuming from
+        # a pre-EMA/.pth checkpoint) seed it from the loaded generator.
+        gen_ema = loaded.get("gen_ema")
+        if gen_ema is None:
+            import jax
+
+            gen_ema = jax.tree.map(lambda x: jnp.asarray(x).copy(),
+                                   loaded["gen_params"])
     state = template_state.replace(
         gen_params=loaded["gen_params"],
         critic_params=loaded["critic_params"],
+        gen_ema=gen_ema,
         iters=jnp.int32(loaded["iter"]),
         im_count=jnp.int32(loaded["im_count"]),
         stage=loaded["step"],

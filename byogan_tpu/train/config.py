@@ -59,6 +59,12 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     output_dir: str = "./output"
     mapping_lr_mult: float = 0.01  # StyleGAN mapping-net LR trick (train.py:63)
+    ema_beta: float = 0.0  # exponential moving average of generator weights
+    # (0 = off, the reference behavior; typical 0.999).  An EMA generator is
+    # the standard StyleGAN sampling-quality trick the reference lacks; when
+    # enabled the shadow weights ride along in TrainState/checkpoints and
+    # sampling surfaces opt in via --ema / Sampler(use_ema=True).  Training
+    # dynamics are untouched (the EMA is never trained against).
     # NOTE: there is deliberately no `use_pallas` training knob — the Pallas
     # epilogue is forward-only and measured slower than XLA fusion in the
     # training path (benchmarks/RESULTS.md); it is exposed where it can run:
@@ -116,6 +122,7 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         model_axis=int(get("model_axis", defaults.model_axis)),
         checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),
         output_dir=get("output_dir", defaults.output_dir),
+        ema_beta=float(get("ema_beta", defaults.ema_beta)),
     )
 
 

@@ -35,6 +35,10 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
     iters: jax.Array  # int32 scalar — global iteration count (train.py:86)
     im_count: jax.Array  # int32 scalar — images seen this stage (train.py:108)
+    # EMA shadow of gen_params (None unless config.ema_beta > 0).  On/off is
+    # fixed for a run, so the pytree structure — and thus the jit buckets —
+    # never changes mid-run.
+    gen_ema: Any = None
     # host-side (static) progress bookkeeping, carried for checkpointing:
     stage: int = struct.field(pytree_node=False, default=1)
     epoch: int = struct.field(pytree_node=False, default=0)
@@ -96,6 +100,13 @@ def create_train_state(
         )(critic_key)
     gen_opt_state = make_gen_optimizer(config).init(gen_params)
     critic_opt_state = make_critic_optimizer(config).init(critic_params)
+    # EMA starts as a deep COPY of the generator params — distinct buffers,
+    # so buffer donation in the jitted step never aliases the two trees.
+    gen_ema = (
+        jax.tree.map(lambda x: x.copy(), gen_params)
+        if config.ema_beta > 0
+        else None
+    )
     return TrainState(
         gen_params=gen_params,
         critic_params=critic_params,
@@ -104,6 +115,7 @@ def create_train_state(
         rng=state_key,
         iters=jnp.int32(0),
         im_count=jnp.int32(0),
+        gen_ema=gen_ema,
         stage=1,
         epoch=0,
     )

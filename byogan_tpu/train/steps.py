@@ -63,6 +63,7 @@ def make_train_step(
     critic_tx = make_critic_optimizer(config)
     use_r1 = config.use_r1
     c_lambda = config.c_lambda
+    ema_beta = config.ema_beta
     compute_dtype = jnp.dtype(config.compute_dtype)
     remat = config.remat
 
@@ -148,6 +149,16 @@ def make_train_step(
         )
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
+        # EMA shadow update (config.ema_beta > 0): pure elementwise lerp,
+        # fused by XLA into the optimizer update — never trained against.
+        gen_ema = state.gen_ema
+        if ema_beta > 0 and gen_ema is not None:
+            gen_ema = jax.tree.map(
+                lambda e, p: e * ema_beta + p.astype(e.dtype) * (1.0 - ema_beta),
+                gen_ema,
+                gen_params,
+            )
+
         new_state = state.replace(
             gen_params=gen_params,
             critic_params=c_params,
@@ -156,6 +167,7 @@ def make_train_step(
             rng=rng,
             iters=state.iters + 1,
             im_count=im_count,
+            gen_ema=gen_ema,
         )
         metrics = {
             "c_loss": c_loss.astype(jnp.float32),
