@@ -7,9 +7,10 @@ prepared dataset at the checkpoint's stage resolution, and prints one JSON
 line.  Lower is better; values are only comparable across runs of this
 implementation (see eval/swd.py docstring).
 
-Truncation defaults to 1.0 here (not the sampling CLIs' 0.75): evaluation
-should compare the model's actual output distribution, and truncation
-deliberately narrows it.
+Truncation defaults to 0.75 — the TRAINING latent distribution (the
+reference trains on truncated z at 0.75, train.py:139, a quirk this repo
+keeps), so by default the score reflects the distribution the model
+actually learned.  Raise it to probe wider latents.
 """
 
 from __future__ import annotations
@@ -33,8 +34,9 @@ def main(argv=None):
         "--batch", default=32, type=int, help="synthesis batch size"
     )
     parser.add_argument(
-        "-t", "--truncation", default=1.0, type=float,
-        help="truncation boundary (1.0 = untruncated distribution)",
+        "-t", "--truncation", default=0.75, type=float,
+        help="latent truncation boundary (default 0.75 = the training "
+        "distribution)",
     )
     parser.add_argument(
         "--ema", action="store_true",

@@ -59,6 +59,11 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     output_dir: str = "./output"
     mapping_lr_mult: float = 0.01  # StyleGAN mapping-net LR trick (train.py:63)
+    eval_step: int = 0  # every N iterations, compute the SWD sample-quality
+    # metric (eval/swd.py) against the real set and log it to metrics.jsonl
+    # as a {"kind": "eval"} record.  0 = off (the reference has no metric);
+    # when off the hot loop is untouched.
+    eval_images: int = 64  # images per side for the periodic SWD readout
     ema_beta: float = 0.0  # exponential moving average of generator weights
     # (0 = off, the reference behavior; typical 0.999).  An EMA generator is
     # the standard StyleGAN sampling-quality trick the reference lacks; when
@@ -123,6 +128,8 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),
         output_dir=get("output_dir", defaults.output_dir),
         ema_beta=float(get("ema_beta", defaults.ema_beta)),
+        eval_step=int(get("eval_step", defaults.eval_step)),
+        eval_images=int(get("eval_images", defaults.eval_images)),
     )
 
 

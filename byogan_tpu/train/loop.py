@@ -300,6 +300,14 @@ def train(
                         gen, config, state, show_z, steps, gen_fade,
                         alpha_for_ckpt, total_iters, eval_cache,
                     )
+                if (
+                    config.eval_step > 0
+                    and total_iters % config.eval_step == 0
+                ):
+                    _log_swd_eval(
+                        gen, config, state, dataset, steps, gen_fade,
+                        alpha_for_ckpt, total_iters, eval_cache, logger,
+                    )
                 if total_iters > 0 and total_iters % config.checkpoint_step == 0:
                     save_checkpoint(
                         config.checkpoint_dir, state.replace(epoch=epoch),
@@ -364,3 +372,80 @@ def _save_sample_grid(
         filename=filename or f"s-{iters}",
         title=f"Iteration {iters}",
     )
+
+
+def _log_swd_eval(
+    gen: Generator,
+    config: TrainConfig,
+    state: TrainState,
+    dataset,
+    steps: int,
+    fade: bool,
+    alpha: Optional[float],
+    iters: int,
+    eval_cache: Dict[tuple, object],
+    logger: MetricsLogger,
+) -> None:
+    """Periodic SWD readout (``eval_step > 0``; TPU-native extension).
+
+    Scores ``eval_images`` fresh samples against the first ``eval_images``
+    real images of the current stage with eval/swd.py, at the stage's
+    current fade alpha (same semantics as the sample grid).  When the EMA
+    shadow is enabled, scores it too (``swd_ema``) — that is what sampling
+    surfaces serve.  Results land in metrics.jsonl as ``{"kind": "eval"}``
+    records; with ``eval_step = 0`` (default) none of this runs.
+    """
+    from byogan_tpu.eval.swd import sliced_wasserstein_distance
+
+    n = min(config.eval_images, len(dataset))
+    rkey = ("swd_real", steps)
+    if rkey not in eval_cache:
+        u8 = dataset.get_batch_uint8(np.arange(n))
+        eval_cache[rkey] = (
+            jnp.asarray(u8, jnp.float32) * (2.0 / 255.0) - 1.0
+        )
+    real = eval_cache[rkey]
+
+    skey = ("swd_synth", steps, fade, n)
+    if skey not in eval_cache:
+        compute_dtype = jnp.dtype(config.compute_dtype)
+
+        @jax.jit
+        def synth(gen_params, key, alpha_arr):
+            from byogan_tpu.core.random import synthesis_noise
+
+            kz, kn = jax.random.split(key)
+            # The TRAINING latent distribution (truncated at noise_trunc,
+            # steps.py / reference train.py:139) — scoring with wider z
+            # would probe latents the model never trained on.
+            z = truncated_noise(
+                kz, n, config.noise_size, config.noise_trunc, compute_dtype
+            )
+            noise = synthesis_noise(kn, n, steps, dtype=compute_dtype)
+            return gen.apply(
+                {"params": gen_params}, z, noise, steps=steps,
+                alpha=alpha_arr if fade else None,
+            ).astype(jnp.float32)
+
+        eval_cache[skey] = synth
+    synth = eval_cache[skey]
+
+    synth_key = jax.random.fold_in(
+        jax.random.PRNGKey(config.seed + 131071), iters
+    )
+    alpha_arr = jnp.float32(0.0 if alpha is None else alpha)
+    swd_key = jax.random.fold_in(
+        jax.random.PRNGKey(config.seed + 524287), iters
+    )
+    min_size = min(16, 4 * 2 ** (steps - 1))
+    targets = [("swd", state.gen_params)]
+    if state.gen_ema is not None:
+        targets.append(("swd_ema", state.gen_ema))
+    values = {}
+    for name, params in targets:
+        fake = synth(params, synth_key, alpha_arr)
+        per_level = sliced_wasserstein_distance(
+            real, fake, swd_key, patches_per_image=64, min_size=min_size
+        )
+        values[name] = round(per_level[0], 3)
+    logger.log_eval(iters, steps, values)

@@ -76,6 +76,21 @@ class MetricsLogger:
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
 
+    def log_eval(
+        self, iters: int, stage: int, values: Dict[str, float]
+    ) -> None:
+        """Record a periodic evaluation readout (SWD; train/loop.py).
+
+        Written as a separate ``{"kind": "eval"}`` jsonl record so loss-
+        trajectory consumers can filter on the absence/presence of the key.
+        """
+        readout = "  ".join(f"{k}: {v:.6g}" for k, v in values.items())
+        self._print(f"eval step {stage} iter {iters}  {readout}")
+        if self._jsonl:
+            rec = {"kind": "eval", "iter": iters, "stage": stage, **values}
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
+
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()

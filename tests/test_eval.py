@@ -134,6 +134,50 @@ def tiny_run(tmp_path_factory):
     return os.path.join(ckpt_dir, "FINAL"), root
 
 
+def test_periodic_swd_during_training(tmp_path):
+    """eval_step > 0 logs {"kind": "eval"} SWD records to metrics.jsonl,
+    including the EMA score when the shadow is enabled."""
+    from byogan_tpu.data.prep import prepare_pyramid
+    from byogan_tpu.data.synthetic import write_synthetic_dataset
+    from byogan_tpu.train.config import TrainConfig
+    from byogan_tpu.train.loop import train
+
+    root = str(tmp_path / "data")
+    write_synthetic_dataset(root, n_images=8, size=4)
+    prepare_pyramid(root, start_size=4, end_size=4)
+    out = tmp_path / "out"
+    config = TrainConfig(
+        data=root,
+        noise_size=16,
+        compute_dtype="float32",
+        channel_divisor=16,
+        mapping_depth=2,
+        batch_progression=(4,),
+        epoch_progression=(2,),
+        display_step=100,
+        checkpoint_step=100,
+        refresh_stat_step=2,
+        eval_step=2,
+        eval_images=8,
+        ema_beta=0.5,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(out),
+        show_noise_count=4,
+        seed=9,
+    )
+    train(config)
+    records = [
+        json.loads(line) for line in open(out / "metrics.jsonl")
+    ]
+    evals = [r for r in records if r.get("kind") == "eval"]
+    losses = [r for r in records if "c_loss" in r]
+    assert evals and losses
+    for r in evals:
+        assert np.isfinite(r["swd"]) and r["swd"] >= 0
+        assert np.isfinite(r["swd_ema"]) and r["swd_ema"] >= 0
+        assert "c_loss" not in r  # eval records don't pollute the loss schema
+
+
 def test_evaluate_cli(tiny_run, capsys):
     from byogan_tpu.cli.evaluate import main
 
