@@ -59,6 +59,11 @@ def main(argv=None):
         help="sample from the EMA generator weights (checkpoints trained "
         "with ema_beta > 0)",
     )
+    parser.add_argument(
+        "--psi", default=None, type=float,
+        help="W-space truncation toward the mean w (StyleGAN trick; e.g. "
+        "0.7 trades diversity for fidelity — off if unset)",
+    )
     args = parser.parse_args(argv)
 
     if args.output_dir is not None and not os.path.exists(args.output_dir):
@@ -106,16 +111,26 @@ def main(argv=None):
     # N single-image forwards (generate_samples.py:54-59).
     batch = args.batch or args.images
 
+    w_mean = None
+    if args.psi is not None:
+        # Mean w over 4096 latents (fixed key — stable across invocations).
+        w_mean = jax.jit(
+            lambda z_: gen.apply(params, z_, method="map_latent").mean(axis=0)
+        )(
+            truncated_noise(
+                jax.random.PRNGKey(0x57AB1E), 4096, args.z_size, args.trunc
+            )
+        )
+
     @jax.jit
     def synthesize(z, noise_key):
         noise = synthesis_noise(noise_key, z.shape[0], steps)
-        return gen.apply(
-            params,
-            z,
-            noise,
-            steps=steps,
-            alpha=None if alpha is None else jnp.float32(alpha),
-        )
+        a = None if alpha is None else jnp.float32(alpha)
+        if args.psi is None:
+            return gen.apply(params, z, noise, steps=steps, alpha=a)
+        w = gen.apply(params, z, method="map_latent")
+        w = w_mean + args.psi * (w - w_mean)
+        return gen.apply(params, None, noise, steps=steps, alpha=a, style=w)
 
     written = 0
     while written < args.images:

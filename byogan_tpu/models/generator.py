@@ -89,31 +89,57 @@ class Generator(nn.Module):
     def num_stages(self) -> int:
         return len(self.channels)
 
+    def map_latent(self, z: jax.Array) -> jax.Array:
+        """z -> w through the mapping network only (W-space access).
+
+        Exposed for W-space sampling tools (mean-w truncation, style mixing
+        — serve.Sampler): ``gen.apply(vars, z, method="map_latent")``.  The
+        reference has no W access (gan.py:185 maps inline); the default
+        synthesis path below is unchanged.
+        """
+        return self.mapping(z)
+
     def __call__(
         self,
-        z: jax.Array,
+        z: Optional[jax.Array],
         noise: Sequence[jax.Array],
         steps: int = 1,
         alpha: Optional[jax.Array] = None,
+        style: Optional[Any] = None,
     ) -> jax.Array:
         """Synthesize a batch of images at stage ``steps`` (NHWC, ~[-1,1]).
 
-        Mirrors reference gan.py:183-222: one w for all layers (no style
-        mixing), walk the stages, fade-in lerp of the upsampled
-        previous-stage RGB against the current RGB by clamped ``alpha``.
+        Mirrors reference gan.py:183-222: one w for all layers, walk the
+        stages, fade-in lerp of the upsampled previous-stage RGB against the
+        current RGB by clamped ``alpha``.
+
+        ``style`` (extension, default None = reference behavior): inject
+        precomputed W-space styles, skipping the mapping network — either a
+        single ``(B, style_dim)`` w for every stage, or a sequence of
+        >= ``steps`` per-stage w's (style mixing).  With ``style`` given,
+        ``z`` may be None.
         """
         if not 1 <= steps <= self.num_stages:
             raise ValueError(f"steps must be in [1, {self.num_stages}], got {steps}")
         if len(noise) < steps:
             raise ValueError(f"need {steps} noise maps, got {len(noise)}")
 
-        style = self.mapping(z)
+        if style is None:
+            styles = [self.mapping(z)] * self.num_stages
+        elif isinstance(style, (list, tuple)):
+            if len(style) < steps:
+                raise ValueError(
+                    f"need {steps} per-stage styles, got {len(style)}"
+                )
+            styles = list(style) + [style[-1]] * (self.num_stages - len(style))
+        else:
+            styles = [style] * self.num_stages
 
         out: Optional[jax.Array] = None
         prev: Optional[jax.Array] = None
         for i in range(steps):
             prev = out
-            out = self.stages[i](out, style, noise[i])
+            out = self.stages[i](out, styles[i], noise[i])
 
         if self.is_initializing():
             # Touch every stage and to_rgb so full-depth parameters exist
@@ -121,13 +147,13 @@ class Generator(nn.Module):
             # stages up front, gan.py:157-181).
             feats = out
             for i in range(steps, self.num_stages):
-                feats = self.stages[i](feats, style, _dummy_noise(z, i))
+                feats = self.stages[i](feats, styles[i], _dummy_noise(z, i))
             for i, (_, oc) in enumerate(self.channels):
-                self.to_rgbs[i](jnp.zeros((1, 1, 1, oc), style.dtype))
+                self.to_rgbs[i](jnp.zeros((1, 1, 1, oc), styles[0].dtype))
 
         if alpha is not None and steps > 1:
             # Fade-in blend (gan.py:207-220): torch.lerp(small_up, large, a).
-            a = jnp.clip(jnp.asarray(alpha, style.dtype), 0.0, 1.0)
+            a = jnp.clip(jnp.asarray(alpha, styles[0].dtype), 0.0, 1.0)
             small_up = upsample2x_bilinear(self.to_rgbs[steps - 2](prev))
             large = self.to_rgbs[steps - 1](out)
             return small_up + a * (large - small_up)

@@ -54,12 +54,18 @@ class Sampler:
         seed: Optional[int] = None,
         use_pallas: bool = False,
         use_ema: bool = False,
+        truncation_psi: Optional[float] = None,
     ):
         """``use_pallas`` switches synthesis to the fused Pallas epilogue
         (ops/fused.py) — measured slower end-to-end than XLA fusion at 512px
         (benchmarks/RESULTS.md), exposed for shapes/hardware where it wins.
         ``use_ema`` samples from the EMA generator weights (checkpoints from
-        runs with ``ema_beta > 0``; errors if the checkpoint has none)."""
+        runs with ``ema_beta > 0``; errors if the checkpoint has none).
+        ``truncation_psi`` (extension; the reference truncates only in Z)
+        applies the StyleGAN W-space truncation trick: w is pulled toward
+        the mean w by ``w_mean + psi*(w - w_mean)`` before synthesis —
+        psi=1.0 is a no-op, psi=0.0 collapses to the mean face; typical
+        0.5-0.8 trades diversity for fidelity."""
         save = load_checkpoint(checkpoint)
         if use_ema:
             if save.get("gen_ema") is None:
@@ -93,6 +99,13 @@ class Sampler:
 
         gen, steps, alpha = self._gen, self.steps, self.alpha
         compute_dtype = model_dtype or jnp.float32
+        self._compute_dtype = compute_dtype
+        self.truncation_psi = truncation_psi
+        self._w_mean = (
+            self._compute_w_mean() if truncation_psi is not None else None
+        )
+        w_mean, psi = self._w_mean, truncation_psi
+        self._mix_cache: dict = {}
 
         def synth(params, key):
             kz, kn = jax.random.split(key)
@@ -112,10 +125,20 @@ class Sampler:
                     )
                     for n in noise
                 ]
-            img = gen.apply(
-                params, z, noise, steps=steps,
-                alpha=None if alpha is None else jnp.float32(alpha),
-            )
+            if psi is None:
+                img = gen.apply(
+                    params, z, noise, steps=steps,
+                    alpha=None if alpha is None else jnp.float32(alpha),
+                )
+            else:
+                # W-space truncation: pull w toward the mean w (extension).
+                w = gen.apply(params, z, method="map_latent")
+                w = w_mean.astype(w.dtype) + psi * (w - w_mean.astype(w.dtype))
+                img = gen.apply(
+                    params, None, noise, steps=steps,
+                    alpha=None if alpha is None else jnp.float32(alpha),
+                    style=w,
+                )
             # Quantize ON DEVICE (torchvision save_image rounding, identical
             # to core.grids.to_uint8): a uint8 frame is 4x less device->host
             # traffic than float32 — the fetch, not the compute, bounds
@@ -132,6 +155,69 @@ class Sampler:
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _compute_w_mean(self) -> jax.Array:
+        """Mean mapping output over 4096 latents from this Sampler's z
+        distribution (fixed key, so every Sampler on a given checkpoint
+        agrees on the center)."""
+        gen, z_dim = self._gen, self.z_dim
+
+        @jax.jit
+        def wm(params, key):
+            z = truncated_noise(
+                key, 4096, z_dim, self.truncation, self._compute_dtype
+            )
+            return gen.apply(params, z, method="map_latent").astype(
+                jnp.float32
+            ).mean(axis=0)
+
+        return wm(self._params, jax.random.PRNGKey(0x57AB1E))
+
+    def style_mix(self, n: int, crossover: int) -> np.ndarray:
+        """n uint8 frames with COARSE stages (< ``crossover``) styled by one
+        latent set and FINE stages (>= ``crossover``) by an independent one
+        — classic StyleGAN style mixing, via the generator's per-stage
+        ``style`` injection (models/generator.py).  ``truncation_psi``
+        applies to both sets when set.  Each distinct (n, crossover) pair
+        compiles its own variant (cached)."""
+        if not 0 <= crossover <= self.steps:
+            raise ValueError(
+                f"crossover must be in [0, {self.steps}], got {crossover}"
+            )
+        key_fn = self._mix_cache.get((n, crossover))
+        if key_fn is None:
+            gen, steps, alpha = self._gen, self.steps, self.alpha
+            compute_dtype = self._compute_dtype
+            w_mean, psi = self._w_mean, self.truncation_psi
+
+            def mix(params, key):
+                ka, kb, kn = jax.random.split(key, 3)
+                noise = synthesis_noise(kn, n, steps, dtype=compute_dtype)
+
+                def to_w(k):
+                    z = truncated_noise(
+                        k, n, self.z_dim, self.truncation, compute_dtype
+                    )
+                    w = gen.apply(params, z, method="map_latent")
+                    if psi is not None:
+                        wm = w_mean.astype(w.dtype)
+                        w = wm + psi * (w - wm)
+                    return w
+
+                w_a, w_b = to_w(ka), to_w(kb)
+                styles = [
+                    w_a if i < crossover else w_b for i in range(steps)
+                ]
+                img = gen.apply(
+                    params, None, noise, steps=steps,
+                    alpha=None if alpha is None else jnp.float32(alpha),
+                    style=styles,
+                )
+                img32 = img.astype(jnp.float32)
+                return jnp.clip(img32 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+            key_fn = self._mix_cache[(n, crossover)] = jax.jit(mix)
+        return np.asarray(key_fn(self._params, self._next_key()))
 
     def sample_batches(self, n: int) -> Iterator[np.ndarray]:
         """Yield uint8 NHWC batches (device-quantized) until n produced;

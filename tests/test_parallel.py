@@ -78,8 +78,9 @@ def test_dp_tp_matches_single_device(critic_fade, gen_fade):
     single device — with tp_min_features lowered so the small model's
     64/32-wide weights are genuinely sharded over the model axis (a wrong
     TP resharding that perturbs values fails this test).  Covers both the
-    fade and no-fade compile buckets."""
-    config = small_config()
+    fade and no-fade compile buckets.  EMA is enabled so the sharded
+    shadow-update path is covered by the same equivalence check."""
+    config = small_config(ema_beta=0.5)
     gen, critic, state = build(config)
     mesh = make_mesh(data=4, model=2)
     tp_min = 32
@@ -114,7 +115,7 @@ def test_dp_tp_matches_single_device(critic_fade, gen_fade):
     # observed worst case 4e-4 relative on 1/18432 elements.  A WRONG
     # resharding corrupts a large fraction of elements by O(1), far outside
     # this band.
-    for net in ("gen_params", "critic_params"):
+    for net in ("gen_params", "critic_params", "gen_ema"):
         for a, b in zip(
             jax.tree.leaves(getattr(s_single, net)),
             jax.tree.leaves(getattr(s_sharded, net)),
