@@ -46,6 +46,11 @@ def main(argv=None):
         help="render from the EMA generator weights (checkpoints trained "
         "with ema_beta > 0)",
     )
+    parser.add_argument(
+        "--w-space", action="store_true",
+        help="lerp in W space instead of Z (smoother walks; extension — "
+        "the reference lerps z, interpolate.py:33)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -88,6 +93,12 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     key, z_key, n_key = jax.random.split(key, 3)
     z = truncated_noise(z_key, args.num_latents, args.z_size, args.truncation)
+    if args.w_space:
+        # Map the endpoints once; frames then lerp w directly (style
+        # injection, models/generator.py) — W is the smoother space.
+        z = jax.jit(
+            lambda z_: gen.apply(params, z_, method="map_latent")
+        )(z)
     # Batch-1 fixed noise pyramid shared by every frame (interpolate.py:23-26),
     # broadcast over the frame batch.
     fixed_noise = fixed_synthesis_noise(n_key, steps=gen.num_stages)
@@ -100,13 +111,12 @@ def main(argv=None):
             jnp.broadcast_to(n, (args.psi_steps,) + n.shape[1:])
             for n in fixed_noise[:steps]
         ]
-        return gen.apply(
-            params,
-            frames_z,
-            noise,
-            steps=steps,
-            alpha=None if alpha is None else jnp.float32(alpha),
-        )
+        a = None if alpha is None else jnp.float32(alpha)
+        if args.w_space:
+            return gen.apply(
+                params, None, noise, steps=steps, alpha=a, style=frames_z
+            )
+        return gen.apply(params, frames_z, noise, steps=steps, alpha=a)
 
     e = 0
     for i in range(args.num_latents - 1):

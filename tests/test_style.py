@@ -106,6 +106,15 @@ def test_sampler_style_mix(ckpt):
         s.style_mix(4, crossover=3)
 
 
+def test_interpolate_w_space_cli(ckpt, tmp_path):
+    from byogan_tpu.cli.interpolate import main
+
+    out = tmp_path / "walk"
+    main([ckpt, "-o", str(out), "-n", "2", "-p", "3", "-d", "cpu",
+          "--w-space", "--seed", "1"])
+    assert len(list(out.glob("image_*.png"))) == 3
+
+
 def test_style_mix_cli(ckpt, tmp_path):
     from byogan_tpu.cli.style_mix import main
 
