@@ -7,10 +7,14 @@ extension (models/generator.py).
 
 TPU-native design: the ENTIRE optimization — Adam over w, synthesis, and a
 multi-scale Laplacian-pyramid reconstruction loss (reusing eval/swd.py's
-pyramid) — is one ``lax.scan`` inside one jitted function.  There are no
-host round-trips per iteration: the loop compiles once per
-(batch, steps, n_iters) and runs start-to-finish on device, which matters
-here because the tunneled TPU pays ~25ms per host sync (CLAUDE.md).
+pyramid) — is one ``lax.scan`` inside one jitted function, compiled once
+per (batch, steps, n_iters).  Measured nuance (benchmarks/RESULTS.md): in
+steady state this is ~parity with a host loop of async single-step
+dispatches (the dispatch queue hides the tunnel RTT as long as nothing is
+read back); the scan's concrete wins are (a) the full loss trajectory
+returns as one device array — a host loop pays ~25ms RTT per iteration the
+moment it wants losses — and (b) a single-call API with no optimizer state
+threading on the host.
 
 No perceptual network (LPIPS needs pretrained weights; none offline): the
 loss is L1 over pyramid bands plus plain L2, which recovers generated
