@@ -1,0 +1,106 @@
+"""Unsupervised W-space edit directions (SeFa-style closed-form
+factorization).
+
+The reference offers no editing tools at all; this extension derives
+semantic directions WITHOUT any labels, data, or training: the top
+eigenvectors of ``A^T A`` where ``A`` stacks the AdaIN style-projection
+weights (`stages_i/conv{1,2}/adain/style/weight`, each
+``(style_dim, 2*channels)``) — the directions in W along which the
+per-layer modulations change the most (Shen & Zhou, "Closed-Form
+Factorization of Latent Semantics in GANs", 2021; method reimplemented
+from the paper's description).  Restricting to a stage range localizes the
+edit: early stages move coarse structure, late stages fine texture.
+
+Pairs with the generator's style injection (models/generator.py) and the
+projector (projector.py): invert an image to w, walk it along a direction,
+re-synthesize.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def style_projection_matrix(
+    gen_params, stages: Optional[Sequence[int]] = None
+) -> np.ndarray:
+    """Stack the AdaIN style-projection weights of the chosen stages.
+
+    Returns ``(style_dim, sum 2*channels)``.  The equalized-LR runtime
+    scale (sqrt(2/style_dim)) is identical for every projection, so it
+    cancels in the eigendecomposition and is omitted.
+    """
+    mats = []
+    i = 0
+    while f"stages_{i}" in gen_params:
+        if stages is None or i in stages:
+            stage = gen_params[f"stages_{i}"]
+            for conv in ("conv1", "conv2"):
+                mats.append(np.asarray(stage[conv]["adain"]["style"]["weight"]))
+        i += 1
+    if not mats:
+        raise ValueError(f"no stages selected (generator has {i} stages)")
+    return np.concatenate(mats, axis=1)
+
+
+def sefa_directions(
+    gen_params,
+    k: int = 10,
+    stages: Optional[Sequence[int]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-``k`` unit edit directions in W, strongest first.
+
+    Returns ``(directions (k, style_dim), eigenvalues (k,))``; directions
+    are orthonormal (eigenvectors of the symmetric ``A A^T``).
+    """
+    a = style_projection_matrix(gen_params, stages)
+    m = a @ a.T  # (style_dim, style_dim)
+    vals, vecs = np.linalg.eigh(m)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    return vecs[:, order].T.copy(), vals[order].copy()
+
+
+def edit_sheet(
+    gen,
+    params,
+    w: jax.Array,
+    direction: np.ndarray,
+    steps: int,
+    coeffs: Sequence[float],
+    noise_seed: int = 0,
+    edit_stages: Optional[Sequence[int]] = None,
+) -> jax.Array:
+    """Render ``w`` walked along ``direction``: (B*len(coeffs), H, W, 3).
+
+    Row-major: for each input w, one image per coefficient.  With
+    ``edit_stages`` given, only those stages receive the edited w (per-stage
+    style injection); others keep the original — a localized edit.
+    Synthesis noise is fixed across the sheet.
+    """
+    from byogan_tpu.core.random import synthesis_noise
+
+    w = jnp.asarray(w, jnp.float32)
+    d = jnp.asarray(direction, jnp.float32)
+    batch = w.shape[0]
+    cs = jnp.asarray(list(coeffs), jnp.float32)
+    n = batch * cs.shape[0]
+    # (B, K, D) -> (B*K, D), row-major per input w
+    w_edit = (w[:, None, :] + cs[:, None] * d[None, None, :]).reshape(
+        n, w.shape[-1]
+    )
+    w_orig = jnp.repeat(w, cs.shape[0], axis=0)
+    if edit_stages is None:
+        style = w_edit
+    else:
+        style = [
+            w_edit if i in edit_stages else w_orig for i in range(steps)
+        ]
+    one_noise = synthesis_noise(jax.random.PRNGKey(noise_seed), 1, steps)
+    noise = [jnp.broadcast_to(m, (n,) + m.shape[1:]) for m in one_noise]
+    return jax.jit(
+        lambda: gen.apply(params, None, noise, steps=steps, style=style)
+    )().astype(jnp.float32)
