@@ -89,12 +89,20 @@ def main(argv=None):
                 "(train with ema_beta > 0)"
             )
         save["gen_params"] = save["gen_ema"]
-    steps = save["step"]
+    steps, alpha = save["step"], save["alpha"]
+    # Factorize only the TRAINED stages: every checkpoint carries all 8
+    # stages' parameters from init (models/generator.py), and the ones
+    # beyond `step` are random init — including them would contaminate the
+    # eigendecomposition with noise directions.
     stages = (
-        None
+        list(range(steps))
         if args.stages is None
         else [int(s) for s in args.stages.split(",")]
     )
+    if any(s >= steps for s in stages):
+        raise SystemExit(
+            f"--stages includes untrained stages (checkpoint has {steps})"
+        )
 
     directions, eigvals = sefa_directions(
         save["gen_params"], k=args.direction + 1, stages=stages
@@ -106,7 +114,20 @@ def main(argv=None):
 
     if args.w is not None:
         w = np.load(args.w)
-        w = jnp.asarray(w[None, :] if w.ndim == 1 else w, jnp.float32)
+        if w.ndim == 1:  # byogan-project single-w output: (style_dim,)
+            w = w[None, :]
+        elif w.ndim == 2:
+            # byogan-project --w-plus output: (steps, style_dim) — one W+
+            # latent, NOT a batch of w's.
+            if w.shape[0] != steps:
+                raise SystemExit(
+                    f"--w: shape {w.shape} is neither (style_dim,) nor a "
+                    f"W+ latent with {steps} stage rows"
+                )
+            w = w[None, :, :]
+        else:
+            raise SystemExit(f"--w: unsupported array shape {w.shape}")
+        w = jnp.asarray(w, jnp.float32)
     else:
         z_dim = z_dim_from_params(save["gen_params"])
         z = truncated_noise(
@@ -117,7 +138,8 @@ def main(argv=None):
     coeffs = np.linspace(-args.span, args.span, args.ncols)
     sheet = edit_sheet(
         gen, params, w, direction, steps, coeffs,
-        noise_seed=args.seed, edit_stages=stages,
+        noise_seed=args.seed, alpha=alpha,
+        edit_stages=None if args.stages is None else stages,
     )
     out_dir = os.path.dirname(args.output)
     if out_dir:

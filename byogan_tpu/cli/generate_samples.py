@@ -113,14 +113,9 @@ def main(argv=None):
 
     w_mean = None
     if args.psi is not None:
-        # Mean w over 4096 latents (fixed key — stable across invocations).
-        w_mean = jax.jit(
-            lambda z_: gen.apply(params, z_, method="map_latent").mean(axis=0)
-        )(
-            truncated_noise(
-                jax.random.PRNGKey(0x57AB1E), 4096, args.z_size, args.trunc
-            )
-        )
+        from byogan_tpu.projector import mean_w
+
+        w_mean = mean_w(gen, params, args.z_size, args.trunc)
 
     @jax.jit
     def synthesize(z, noise_key):

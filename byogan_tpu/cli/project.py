@@ -88,7 +88,7 @@ def main(argv=None):
     result = project(
         gen, params, target, steps=steps, z_dim=z_dim,
         n_iters=args.iters, lr=args.lr, w_plus=args.w_plus,
-        noise_seed=args.seed,
+        noise_seed=args.seed, alpha=save["alpha"],
     )
     losses = np.asarray(result.losses)
     os.makedirs(args.output, exist_ok=True)

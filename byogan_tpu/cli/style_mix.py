@@ -97,6 +97,11 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     ka, kb, kn = jax.random.split(key, 3)
     fixed_noise = fixed_synthesis_noise(kn, steps=steps)
+    w_mean = None
+    if args.psi is not None:
+        from byogan_tpu.projector import mean_w
+
+        w_mean = mean_w(gen, params, z_dim, args.truncation)
 
     @jax.jit
     def render():
@@ -104,15 +109,7 @@ def main(argv=None):
             z = truncated_noise(k, count, z_dim, args.truncation)
             w = gen.apply(params, z, method="map_latent")
             if args.psi is not None:
-                wm = gen.apply(
-                    params,
-                    truncated_noise(
-                        jax.random.PRNGKey(0x57AB1E), 4096, z_dim,
-                        args.truncation,
-                    ),
-                    method="map_latent",
-                ).mean(axis=0)
-                w = wm + args.psi * (w - wm)
+                w = w_mean + args.psi * (w - w_mean)
             return w
 
         w_a, w_b = to_w(ka, rows), to_w(kb, cols)  # (R, D), (C, D) in W-space

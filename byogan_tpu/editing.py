@@ -18,6 +18,7 @@ re-synthesize.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -64,6 +65,35 @@ def sefa_directions(
     return vecs[:, order].T.copy(), vals[order].copy()
 
 
+@functools.partial(
+    jax.jit, static_argnames=("gen", "steps", "edit_stages", "w_plus")
+)
+def _render_sheet(
+    gen, params, w_edit, w_orig, noise, steps, alpha, edit_stages, w_plus
+):
+    """Jitted sheet synthesis — module-level so repeated edit_sheet calls
+    with the same shapes reuse the compiled program (a fresh jit closure
+    per call would retrace every time; remote compiles cost minutes)."""
+    if w_plus:
+        # (N, steps, D): per-stage styles, each stage's row edited/original
+        # according to the restriction.
+        style = [
+            w_edit[:, i, :]
+            if edit_stages is None or i in edit_stages
+            else w_orig[:, i, :]
+            for i in range(steps)
+        ]
+    elif edit_stages is None:
+        style = w_edit
+    else:
+        style = [
+            w_edit if i in edit_stages else w_orig for i in range(steps)
+        ]
+    return gen.apply(
+        params, None, list(noise), steps=steps, alpha=alpha, style=style
+    ).astype(jnp.float32)
+
+
 def edit_sheet(
     gen,
     params,
@@ -73,34 +103,47 @@ def edit_sheet(
     coeffs: Sequence[float],
     noise_seed: int = 0,
     edit_stages: Optional[Sequence[int]] = None,
+    alpha: Optional[float] = None,
 ) -> jax.Array:
     """Render ``w`` walked along ``direction``: (B*len(coeffs), H, W, 3).
 
-    Row-major: for each input w, one image per coefficient.  With
-    ``edit_stages`` given, only those stages receive the edited w (per-stage
-    style injection); others keep the original — a localized edit.
-    Synthesis noise is fixed across the sheet.
+    Row-major: for each input w, one image per coefficient.  ``w`` is
+    either ``(B, style_dim)`` or a W+ latent ``(B, steps, style_dim)``
+    (byogan-project --w-plus output); in W+ every stage's vector walks the
+    same direction.  With ``edit_stages`` given, only those stages receive
+    the edited w (per-stage style injection); others keep the original — a
+    localized edit.  ``alpha`` is the checkpoint's fade alpha (None = no
+    blend).  Synthesis noise is fixed across the sheet.
     """
     from byogan_tpu.core.random import synthesis_noise
 
     w = jnp.asarray(w, jnp.float32)
+    w_plus = w.ndim == 3
+    if w_plus and w.shape[1] != steps:
+        raise ValueError(
+            f"W+ latent has {w.shape[1]} stage rows, checkpoint uses {steps}"
+        )
     d = jnp.asarray(direction, jnp.float32)
     batch = w.shape[0]
     cs = jnp.asarray(list(coeffs), jnp.float32)
-    n = batch * cs.shape[0]
-    # (B, K, D) -> (B*K, D), row-major per input w
-    w_edit = (w[:, None, :] + cs[:, None] * d[None, None, :]).reshape(
-        n, w.shape[-1]
-    )
-    w_orig = jnp.repeat(w, cs.shape[0], axis=0)
-    if edit_stages is None:
-        style = w_edit
+    k = cs.shape[0]
+    n = batch * k
+    if w_plus:
+        w_edit = (
+            w[:, None, :, :] + cs[:, None, None] * d[None, None, None, :]
+        ).reshape(n, steps, w.shape[-1])
     else:
-        style = [
-            w_edit if i in edit_stages else w_orig for i in range(steps)
-        ]
+        w_edit = (w[:, None, :] + cs[:, None] * d[None, None, :]).reshape(
+            n, w.shape[-1]
+        )
+    w_orig = jnp.repeat(w, k, axis=0)
     one_noise = synthesis_noise(jax.random.PRNGKey(noise_seed), 1, steps)
-    noise = [jnp.broadcast_to(m, (n,) + m.shape[1:]) for m in one_noise]
-    return jax.jit(
-        lambda: gen.apply(params, None, noise, steps=steps, style=style)
-    )().astype(jnp.float32)
+    noise = tuple(
+        jnp.broadcast_to(m, (n,) + m.shape[1:]) for m in one_noise
+    )
+    return _render_sheet(
+        gen, params, w_edit, w_orig, noise, steps,
+        None if alpha is None else jnp.float32(alpha),
+        None if edit_stages is None else tuple(edit_stages),
+        w_plus,
+    )

@@ -144,10 +144,12 @@ class Generator(nn.Module):
         if self.is_initializing():
             # Touch every stage and to_rgb so full-depth parameters exist
             # regardless of the init-time `steps` (reference builds all
-            # stages up front, gan.py:157-181).
+            # stages up front, gan.py:157-181).  `z` may be None when
+            # initializing with injected styles — use them for batch/dtype.
+            ref = z if z is not None else styles[0]
             feats = out
             for i in range(steps, self.num_stages):
-                feats = self.stages[i](feats, styles[i], _dummy_noise(z, i))
+                feats = self.stages[i](feats, styles[i], _dummy_noise(ref, i))
             for i, (_, oc) in enumerate(self.channels):
                 self.to_rgbs[i](jnp.zeros((1, 1, 1, oc), styles[0].dtype))
 

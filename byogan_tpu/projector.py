@@ -61,6 +61,7 @@ def _project_jit(
     n_iters: int,
     lr: float,
     w_plus: bool,
+    alpha,
 ):
     tx = optax.adam(lr, b1=0.9, b2=0.999)
     opt_state = tx.init(w_init)
@@ -78,7 +79,7 @@ def _project_jit(
             [w[:, i, :] for i in range(steps)] if w_plus else w
         )
         return gen.apply(
-            params, None, noise, steps=steps, style=style
+            params, None, noise, steps=steps, alpha=alpha, style=style
         ).astype(jnp.float32)
 
     def loss_fn(w):
@@ -97,16 +98,27 @@ def _project_jit(
     return w, synth(w), losses
 
 
-def mean_w(
-    gen, params, z_dim: int, trunc: float = 0.75, n: int = 4096
-) -> jax.Array:
-    """Mean mapping output over ``n`` training-distribution latents."""
+@functools.partial(jax.jit, static_argnames=("gen", "z_dim", "n"))
+def _mean_w_jit(gen, params, z_dim: int, trunc, n: int):
     from byogan_tpu.core.random import truncated_noise
 
     z = truncated_noise(jax.random.PRNGKey(0x57AB1E), n, z_dim, trunc)
     return gen.apply(params, z, method="map_latent").astype(
         jnp.float32
     ).mean(axis=0)
+
+
+def mean_w(
+    gen, params, z_dim: int, trunc: float = 0.75, n: int = 4096
+) -> jax.Array:
+    """Mean mapping output over ``n`` training-distribution latents.
+
+    THE canonical W center: fixed latent key, jitted once per (gen, z_dim,
+    n) — every surface that needs a mean w (Sampler truncation_psi,
+    generate --psi, byogan-mix, projection init) calls this, so they all
+    agree on the center by construction.
+    """
+    return _mean_w_jit(gen, params, z_dim, trunc, n)
 
 
 def project(
@@ -120,6 +132,7 @@ def project(
     w_plus: bool = False,
     w_init: Optional[jax.Array] = None,
     noise_seed: int = 0,
+    alpha: Optional[float] = None,
 ) -> ProjectResult:
     """Optimize W-space latents so the generator reproduces ``target``.
 
@@ -127,7 +140,10 @@ def project(
     ``steps``' resolution.  ``w_plus=True`` optimizes an independent w per
     stage (more expressive inversion, the usual editing choice);
     ``w_plus=False`` a single w (stays on the model's natural manifold).
-    Initialization is the mean w unless ``w_init`` is given.
+    Initialization is the mean w unless ``w_init`` is given.  ``alpha``:
+    the checkpoint's fade alpha, so mid-fade checkpoints are inverted
+    against the blended forward they actually sample with (None = no
+    blend, matching a completed stage).
 
     One compiled program per (batch, steps, n_iters, w_plus) — re-invoking
     with the same shapes reuses the executable.
@@ -161,5 +177,6 @@ def project(
         n_iters,
         lr,
         w_plus,
+        None if alpha is None else jnp.float32(alpha),
     )
     return ProjectResult(w=w, image=image, losses=losses)

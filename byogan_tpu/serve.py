@@ -157,21 +157,11 @@ class Sampler:
         return sub
 
     def _compute_w_mean(self) -> jax.Array:
-        """Mean mapping output over 4096 latents from this Sampler's z
-        distribution (fixed key, so every Sampler on a given checkpoint
-        agrees on the center)."""
-        gen, z_dim = self._gen, self.z_dim
+        """Canonical W center (projector.mean_w: fixed key, jitted once),
+        so every surface on a given checkpoint agrees on the mean w."""
+        from byogan_tpu.projector import mean_w
 
-        @jax.jit
-        def wm(params, key):
-            z = truncated_noise(
-                key, 4096, z_dim, self.truncation, self._compute_dtype
-            )
-            return gen.apply(params, z, method="map_latent").astype(
-                jnp.float32
-            ).mean(axis=0)
-
-        return wm(self._params, jax.random.PRNGKey(0x57AB1E))
+        return mean_w(self._gen, self._params, self.z_dim, self.truncation)
 
     def style_mix(self, n: int, crossover: int) -> np.ndarray:
         """n uint8 frames with COARSE stages (< ``crossover``) styled by one

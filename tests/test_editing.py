@@ -103,6 +103,32 @@ def test_edit_sheet_stage_restriction(setup):
     assert not np.array_equal(np.asarray(all_stages), np.asarray(late_only))
 
 
+def test_edit_sheet_w_plus_and_alpha(setup):
+    """A W+ latent (B, steps, D) edits per stage; alpha switches to the
+    fade-blended forward."""
+    gen, params, gen_params, _ = setup
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    w = gen.apply(params, z, method="map_latent")
+    w_plus = jnp.broadcast_to(w[:, None, :], (1, STEPS, STYLE_DIM))
+    dirs, _ = sefa_directions(gen_params, k=1)
+    sheet_w = edit_sheet(gen, params, w, dirs[0], STEPS, coeffs=(0.0, 1.0))
+    sheet_wp = edit_sheet(
+        gen, params, w_plus, dirs[0], STEPS, coeffs=(0.0, 1.0)
+    )
+    # identical per-stage rows == the single-w result
+    np.testing.assert_allclose(
+        np.asarray(sheet_w), np.asarray(sheet_wp), atol=1e-5
+    )
+    with pytest.raises(ValueError, match="stage rows"):
+        edit_sheet(
+            gen, params, w_plus[:, :1, :], dirs[0], STEPS, coeffs=(0.0,)
+        )
+    faded = edit_sheet(
+        gen, params, w, dirs[0], STEPS, coeffs=(0.0, 1.0), alpha=0.3
+    )
+    assert not np.array_equal(np.asarray(sheet_w), np.asarray(faded))
+
+
 def test_edit_cli(setup, tmp_path):
     from byogan_tpu.cli.edit import main
 

@@ -86,6 +86,23 @@ def test_project_accepts_uint8_and_validates_size(setup):
         )
 
 
+def test_project_respects_alpha(setup):
+    """Mid-fade checkpoints invert against the blended forward: the same
+    target projects to different losses under alpha than without."""
+    gen, params, _ = setup
+    target, _ = _target_from_known_w(gen, params, seed=7)
+    plain = project(
+        gen, params, target, steps=STEPS, z_dim=Z_DIM, n_iters=30, lr=0.05
+    )
+    faded = project(
+        gen, params, target, steps=STEPS, z_dim=Z_DIM, n_iters=30, lr=0.05,
+        alpha=0.2,
+    )
+    assert not np.array_equal(
+        np.asarray(plain.image), np.asarray(faded.image)
+    )
+
+
 def test_mean_w_shape(setup):
     gen, params, _ = setup
     wm = mean_w(gen, params, Z_DIM, n=256)
