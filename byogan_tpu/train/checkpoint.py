@@ -158,7 +158,21 @@ def load_checkpoint(
                 if template_state.gen_ema is not None
                 else template_state.gen_params
             )
-    tree = _checkpointer().restore(os.path.abspath(path), item=template)
+    if template is not None:
+        tree = _checkpointer().restore(os.path.abspath(path), item=template)
+    else:
+        # No template (sampling/eval surfaces): restore as HOST numpy
+        # arrays, not with the saved device shardings — a checkpoint
+        # written on the TPU must load on a CPU-only process (and vice
+        # versa); orbax otherwise fails on the foreign topology.
+        import orbax.checkpoint as ocp
+
+        ckptr = _checkpointer()
+        meta_tree = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+        )
+        tree = ckptr.restore(os.path.abspath(path), restore_args=restore_args)
     return {
         "gen_params": tree["gen_params"],
         "critic_params": tree["critic_params"],
