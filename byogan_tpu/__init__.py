@@ -18,6 +18,12 @@ Key design decisions (TPU-first, not a port):
     conv3x3+epilogue variant), with pure-lax fallbacks and measured dispatch
     gates (ops/, benchmarks/RESULTS.md); minibatch-stddev deliberately stays
     lax — it is microseconds of VPU work on a (B,4,4,512) tensor.
+
+Beyond reference parity (all default-off / additive — PARITY.md "opt-in
+extensions"): EMA generator weights (train.config.ema_beta), SWD evaluation
+(eval/, byogan-eval, in-training eval_step), W-space tools (truncation-psi,
+style mixing, W-walks), latent projection (projector.py, byogan-project),
+and unsupervised SeFa editing (editing.py, byogan-edit).
 """
 
 __version__ = "0.1.0"

@@ -96,6 +96,8 @@ def main() -> None:
         refresh_stat_step=10,
         seed=11,
         ema_beta=0.99,
+        eval_step=160,  # periodic SWD readout -> metrics.jsonl trajectory
+        eval_images=64,
         checkpoint_dir=os.path.join(out_root, "checkpoints"),
         output_dir=os.path.join(out_root, "output"),
     )
@@ -126,6 +128,15 @@ def main() -> None:
         "ema": swd_for_params(save["gen_ema"], spec, steps, real),
         "fresh": swd_for_params(fresh, spec, steps, real),
     }
+    # Periodic in-training SWD readouts (eval_step): the quality trajectory.
+    trajectory = []
+    metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        for line in open(metrics_path):
+            rec = json.loads(line)
+            if rec.get("kind") == "eval":
+                trajectory.append(rec)
+
     summary = {
         "iters": save["iter"],
         "wall_seconds": round(wall, 1),
@@ -135,6 +146,7 @@ def main() -> None:
             name: {str(k): round(v, 2) for k, v in res.items()}
             for name, res in scores.items()
         },
+        "swd_trajectory": trajectory,
     }
     with open(os.path.join(out_root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
