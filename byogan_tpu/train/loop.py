@@ -24,7 +24,10 @@ replicated (it is load-bearing for training dynamics): alpha ramps
 
 from __future__ import annotations
 
+import contextlib
 import os
+import signal
+import threading
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -82,6 +85,42 @@ def build_models(config: TrainConfig) -> Tuple[Generator, Critic]:
     )
 
 
+@contextlib.contextmanager
+def _graceful_stop():
+    """SIGTERM/SIGINT -> checkpoint-and-exit at the next iteration boundary.
+
+    Preemption safety (§5 failure recovery): on preemptible TPU capacity
+    the scheduler SIGTERMs the process; instead of dying mid-epoch and
+    losing everything since the last periodic checkpoint, the train loop
+    finishes the in-flight iteration, saves, and returns cleanly (resume is
+    batch-exact from that point).  A second signal aborts immediately.
+    Handlers are installed only in the main thread and always restored.
+    """
+    stop_requested: list = []
+    if threading.current_thread() is not threading.main_thread():
+        yield stop_requested  # signals can't be bound here; no-op
+        return
+
+    def _request(signum, frame):
+        if stop_requested:
+            raise KeyboardInterrupt  # second signal: abort now
+        stop_requested.append(signum)
+        print(
+            f"received signal {signum}: saving a checkpoint and exiting at "
+            "the next iteration boundary (send again to abort immediately)"
+        )
+
+    prev = {
+        sig: signal.signal(sig, _request)
+        for sig in (signal.SIGTERM, signal.SIGINT)
+    }
+    try:
+        yield stop_requested
+    finally:
+        for sig, handler in prev.items():
+            signal.signal(sig, handler)
+
+
 def train(
     config: TrainConfig,
     checkpoint: Optional[str] = None,
@@ -93,7 +132,19 @@ def train(
     ``checkpoint`` may be our orbax dir or a reference ``.pth``.
     ``max_iters`` caps total iterations (tests/benchmarks).
     ``mesh``: optional jax.sharding.Mesh for multi-chip; see parallel/.
+    SIGTERM/SIGINT checkpoint-and-exit cleanly (``_graceful_stop``).
     """
+    with _graceful_stop() as stop_requested:
+        return _train(config, checkpoint, max_iters, mesh, stop_requested)
+
+
+def _train(
+    config: TrainConfig,
+    checkpoint: Optional[str],
+    max_iters: Optional[int],
+    mesh,
+    stop_requested: list,
+) -> TrainState:
     if config.data is None:
         raise ValueError("config.data must point at a prepared dataset")
     if not os.path.exists(os.path.join(config.data, "prepared")):
@@ -313,14 +364,18 @@ def train(
                         config.checkpoint_dir, state.replace(epoch=epoch),
                         alpha_for_ckpt, model_spec=spec,
                     )
-                if max_iters is not None and total_iters >= max_iters:
+                if stop_requested or (
+                    max_iters is not None and total_iters >= max_iters
+                ):
                     flush_pending()
                     logger.close()
                     state = state.replace(epoch=epoch)
-                    save_checkpoint(
+                    path = save_checkpoint(
                         config.checkpoint_dir, state, alpha_for_ckpt,
                         model_spec=spec,
                     )
+                    if stop_requested:
+                        print(f"preemption checkpoint saved: {path}")
                     return state
         last_stage = None
 

@@ -143,3 +143,38 @@ def test_training_is_deterministic(data_root, tmp_path):
 
     la, lb = losses(cfg_a), losses(cfg_b)
     assert la and la == lb
+
+
+def test_graceful_stop_handler():
+    """SIGTERM inside _graceful_stop is absorbed into the stop flag; a
+    second signal aborts; previous handlers come back afterwards."""
+    import signal as _signal
+
+    from byogan_tpu.train.loop import _graceful_stop
+
+    before = _signal.getsignal(_signal.SIGTERM)
+    with _graceful_stop() as stop_requested:
+        assert stop_requested == []
+        os.kill(os.getpid(), _signal.SIGTERM)
+        assert stop_requested == [_signal.SIGTERM]
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), _signal.SIGTERM)
+    assert _signal.getsignal(_signal.SIGTERM) is before
+
+
+def test_stop_requested_checkpoints_and_resumes(data_root, tmp_path):
+    """A pending stop request makes the loop checkpoint and return after
+    ONE iteration (the preemption path), and resume completes the run."""
+    import signal as _signal
+
+    from byogan_tpu.train.loop import _train
+
+    config = tiny_config(data_root, tmp_path, checkpoint_step=100)
+    state = _train(config, None, None, None, [_signal.SIGTERM])
+    assert int(state.iters) == 1  # stopped at the first boundary
+    ckpt = latest_checkpoint(config.checkpoint_dir)
+    assert ckpt is not None and ckpt.endswith("chk-1")
+
+    state2 = train(config, checkpoint=ckpt)
+    assert int(state2.iters) == 16  # batch-exact continuation to the end
+    assert state2.stage == 2
