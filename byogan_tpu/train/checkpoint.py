@@ -105,7 +105,16 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     for entry in os.listdir(directory):
         m = re.fullmatch(r"chk-(\d+)", entry)
         full = os.path.join(directory, entry)
-        if m and os.path.isdir(full) and int(m.group(1)) > best_iter:
+        if (
+            m
+            and os.path.isdir(full)
+            and int(m.group(1)) > best_iter
+            # A dir without meta is a save that was aborted between the
+            # orbax write and the meta write (e.g. a second preemption
+            # signal) — skip it so auto-resume falls back instead of
+            # crashing on the missing byogan_meta.json.
+            and os.path.exists(os.path.join(full, _META_NAME))
+        ):
             best, best_iter = full, int(m.group(1))
     final = os.path.join(directory, "FINAL")
     if os.path.isdir(final):

@@ -229,6 +229,19 @@ def _train(
             logger.log_step(it0, float(cm), float(gm), ep0, st0, b0)
             pending_log = None
 
+    def stop_save(epoch: int) -> TrainState:
+        """Checkpoint-and-return at an iteration boundary (preemption stop
+        or max_iters).  Reads the CURRENT state/alpha via closure."""
+        flush_pending()
+        logger.close()
+        st = state.replace(epoch=epoch)
+        path = save_checkpoint(
+            config.checkpoint_dir, st, alpha_for_ckpt, model_spec=spec
+        )
+        if stop_requested:
+            print(f"preemption checkpoint saved: {path}")
+        return st
+
     for index in range(config.num_stages):
         steps = index + 1
         if last_stage is not None and steps < last_stage:
@@ -305,6 +318,13 @@ def _train(
                 loader, sharding=batch_sharding, process_count=n_proc
             )
             for real in loader:
+                # Check the stop flag BEFORE building/dispatching the next
+                # step: a signal landing at a stage boundary or fade-bucket
+                # flip must not wait out a fresh multi-minute XLA compile —
+                # the scheduler's kill grace would expire first.  State here
+                # is at an iteration boundary, so the save is batch-exact.
+                if stop_requested:
+                    return stop_save(epoch)
                 repeats = config.critic_repeats
                 critic_fade = tuple(
                     (host_im_count + r * batch) / fade_in <= 1.0
@@ -367,25 +387,19 @@ def _train(
                 if stop_requested or (
                     max_iters is not None and total_iters >= max_iters
                 ):
-                    flush_pending()
-                    logger.close()
-                    state = state.replace(epoch=epoch)
-                    path = save_checkpoint(
-                        config.checkpoint_dir, state, alpha_for_ckpt,
-                        model_spec=spec,
-                    )
-                    if stop_requested:
-                        print(f"preemption checkpoint saved: {path}")
-                    return state
+                    return stop_save(epoch)
         last_stage = None
 
     state = state.replace(epoch=cur_epoch)
     # Final artifacts (train.py:261-275): sample grid + FINAL checkpoint with
-    # alpha=None.
-    _save_sample_grid(
-        gen, config, state, show_z, state.stage, False, None,
-        total_iters, eval_cache, filename="s-final",
-    )
+    # alpha=None.  A stop request arriving after the last iteration skips
+    # the grid (it may need a fresh (stage, no-fade) compile) and goes
+    # straight to the FINAL save.
+    if not stop_requested:
+        _save_sample_grid(
+            gen, config, state, show_z, state.stage, False, None,
+            total_iters, eval_cache, filename="s-final",
+        )
     save_checkpoint(
         config.checkpoint_dir, state, None, name="FINAL", model_spec=spec
     )

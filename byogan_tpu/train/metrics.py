@@ -95,3 +95,16 @@ class MetricsLogger:
         if self._jsonl:
             self._jsonl.close()
             self._jsonl = None
+
+
+def read_metrics(path: str, kind: Optional[str] = None) -> List[Dict]:
+    """Parse a metrics.jsonl file; ``kind`` filters records ("eval" for the
+    periodic SWD readouts, None for all).  Shared by the convergence/demo
+    scripts so the jsonl-scan idiom lives in one place."""
+    records: List[Dict] = []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if kind is None or rec.get("kind") == kind:
+                records.append(rec)
+    return records

@@ -121,10 +121,9 @@ def main() -> None:
             wall = 0.0
 
     # ---- verify the run learned ----
-    metrics = [
-        json.loads(line)
-        for line in open(os.path.join(config.output_dir, "metrics.jsonl"))
-    ]
+    from byogan_tpu.train.metrics import read_metrics
+
+    metrics = read_metrics(os.path.join(config.output_dir, "metrics.jsonl"))
     assert metrics, "no metrics logged"
     for rec in metrics:
         assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec

@@ -129,13 +129,14 @@ def main() -> None:
         "fresh": swd_for_params(fresh, spec, steps, real),
     }
     # Periodic in-training SWD readouts (eval_step): the quality trajectory.
-    trajectory = []
+    from byogan_tpu.train.metrics import read_metrics
+
     metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
-    if os.path.exists(metrics_path):
-        for line in open(metrics_path):
-            rec = json.loads(line)
-            if rec.get("kind") == "eval":
-                trajectory.append(rec)
+    trajectory = (
+        read_metrics(metrics_path, kind="eval")
+        if os.path.exists(metrics_path)
+        else []
+    )
 
     summary = {
         "iters": save["iter"],

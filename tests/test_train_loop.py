@@ -163,18 +163,53 @@ def test_graceful_stop_handler():
 
 
 def test_stop_requested_checkpoints_and_resumes(data_root, tmp_path):
-    """A pending stop request makes the loop checkpoint and return after
-    ONE iteration (the preemption path), and resume completes the run."""
+    """A REAL mid-run SIGTERM (timer thread) stops the loop early with a
+    checkpoint, and resume completes the run batch-exactly."""
     import signal as _signal
-
-    from byogan_tpu.train.loop import _train
+    import threading
 
     config = tiny_config(data_root, tmp_path, checkpoint_step=100)
-    state = _train(config, None, None, None, [_signal.SIGTERM])
-    assert int(state.iters) == 1  # stopped at the first boundary
+    timer = threading.Timer(
+        4.0, lambda: os.kill(os.getpid(), _signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        state = train(config)
+    finally:
+        timer.cancel()
+    assert int(state.iters) < 16  # stopped before the natural end
     ckpt = latest_checkpoint(config.checkpoint_dir)
-    assert ckpt is not None and ckpt.endswith("chk-1")
+    assert ckpt is not None and ckpt.endswith(f"chk-{int(state.iters)}")
 
     state2 = train(config, checkpoint=ckpt)
     assert int(state2.iters) == 16  # batch-exact continuation to the end
     assert state2.stage == 2
+
+
+def test_latest_checkpoint_skips_metaless_dirs(tmp_path):
+    """A chk-N dir without byogan_meta.json (save aborted between the orbax
+    write and the meta write) must not be selected by auto-resume."""
+    good = tmp_path / "chk-5"
+    good.mkdir()
+    (good / "byogan_meta.json").write_text("{}")
+    partial = tmp_path / "chk-9"
+    partial.mkdir()  # no meta: aborted save
+    assert latest_checkpoint(str(tmp_path)) == str(good)
+
+
+def test_stop_checked_before_next_compile(data_root, tmp_path):
+    """The stop flag is honored at the TOP of the batch loop — before the
+    next step is built — so a signal at a stage boundary saves without
+    waiting out a fresh compile.  Simulated by setting the flag after the
+    loop starts via a poisoned loader wrapper is overkill; instead, a
+    pre-set flag must stop at iteration 0 (before ANY step compiles)."""
+    import signal as _signal
+
+    from byogan_tpu.train.loop import _train, make_train_step  # noqa: F401
+
+    config = tiny_config(data_root, tmp_path, checkpoint_step=100)
+    state = _train(config, None, None, None, [_signal.SIGTERM])
+    # Stopped before the first iteration even ran:
+    assert int(state.iters) == 0
+    ckpt = latest_checkpoint(config.checkpoint_dir)
+    assert ckpt is not None and ckpt.endswith("chk-0")
