@@ -44,7 +44,12 @@ def main() -> None:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     size = 4 * 2 ** (stage - 1)
 
-    config = TrainConfig(compute_dtype=dtype)
+    # BENCH_EMA=0.999 measures the EMA shadow's throughput cost (default off
+    # = the headline configuration).
+    config = TrainConfig(
+        compute_dtype=dtype,
+        ema_beta=float(os.environ.get("BENCH_EMA", 0.0)),
+    )
     model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
     gen = Generator(dtype=model_dtype)
     critic = Critic(dtype=model_dtype)

@@ -1,0 +1,108 @@
+"""Training-curve plot CLI (``byogan-plot``) — TPU-native extension, no
+reference equivalent (the reference's only readout is the tqdm postfix).
+
+Renders a run's ``metrics.jsonl`` (train/metrics.py) into one PNG: loss
+curves with stage boundaries, throughput, and — when the run logged
+periodic evaluations (``eval_step``) — the SWD quality trajectory.
+Multiple files overlay for run comparison (e.g. live vs resumed, or two
+configs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Plot metrics.jsonl curves")
+    parser.add_argument(
+        "metrics", nargs="+",
+        help="metrics.jsonl path(s); a run's output dir also works",
+    )
+    parser.add_argument(
+        "-o", "--output", default="curves.png", help="output PNG path"
+    )
+    parser.add_argument(
+        "--title", default=None, help="figure title (default: file name)"
+    )
+    args = parser.parse_args(argv)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from byogan_tpu.train.metrics import read_metrics
+
+    paths = []
+    for p in args.metrics:
+        if os.path.isdir(p):
+            p = os.path.join(p, "metrics.jsonl")
+        if not os.path.exists(p):
+            raise SystemExit(f"no metrics file at {p}")
+        paths.append(p)
+
+    any_eval = False
+    runs = []
+    for p in paths:
+        losses = [r for r in read_metrics(p) if "c_loss" in r]
+        evals = read_metrics(p, kind="eval")
+        any_eval = any_eval or bool(evals)
+        runs.append((os.path.basename(os.path.dirname(p)) or p, losses, evals))
+
+    n_rows = 2 if any_eval else 1
+    fig, axes = plt.subplots(
+        n_rows, 1, figsize=(9, 4 * n_rows), sharex=True, squeeze=False
+    )
+    ax_loss = axes[0][0]
+    for name, losses, _ in runs:
+        if not losses:
+            continue
+        iters = [r["iter"] for r in losses]
+        label = f" ({name})" if len(runs) > 1 else ""
+        ax_loss.plot(iters, [r["c_loss"] for r in losses],
+                     label=f"critic loss{label}")
+        ax_loss.plot(iters, [r["g_loss"] for r in losses],
+                     label=f"generator loss{label}")
+        # stage boundaries: first record of each stage
+        seen = set()
+        for r in losses:
+            if r["stage"] not in seen:
+                seen.add(r["stage"])
+                if len(seen) > 1:
+                    ax_loss.axvline(r["iter"], color="gray", lw=0.6, ls=":")
+    ax_loss.set_ylabel("loss (window mean)")
+    ax_loss.legend(fontsize=8)
+    ax_loss.grid(alpha=0.25)
+
+    if any_eval:
+        ax_eval = axes[1][0]
+        for name, _, evals in runs:
+            if not evals:
+                continue
+            iters = [r["iter"] for r in evals]
+            label = f" ({name})" if len(runs) > 1 else ""
+            ax_eval.plot(iters, [r["swd"] for r in evals], marker="o",
+                         ms=3, label=f"SWD x1e3{label}")
+            if all("swd_ema" in r for r in evals):
+                ax_eval.plot(iters, [r["swd_ema"] for r in evals],
+                             marker="o", ms=3,
+                             label=f"SWD x1e3, EMA{label}")
+        ax_eval.set_ylabel("SWD x1e3 (lower = better; per-stage scale)")
+        ax_eval.legend(fontsize=8)
+        ax_eval.grid(alpha=0.25)
+
+    axes[-1][0].set_xlabel("iteration")
+    fig.suptitle(args.title or ", ".join(n for n, _, _ in runs))
+    fig.tight_layout()
+    out_dir = os.path.dirname(args.output)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    fig.savefig(args.output, dpi=120)
+    plt.close(fig)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -189,3 +189,29 @@ def test_evaluate_cli(tiny_run, capsys):
     # 4px stage: the pyramid degenerates to a single 4px level
     assert list(out["per_level"]) == ["4"]
     assert np.isfinite(out["mean"])
+
+
+def test_plot_cli(tmp_path):
+    """byogan-plot renders metrics.jsonl (dir or file path) to a PNG,
+    including the eval subplot when eval records exist."""
+    from byogan_tpu.cli.plot import main as plot_main
+
+    m = tmp_path / "metrics.jsonl"
+    recs = [
+        {
+            "iter": i, "stage": 1 + (i > 4), "epoch": 0,
+            "c_loss": 2.0 / i, "g_loss": 1.0, "images_per_sec": 10.0,
+        }
+        for i in range(2, 10, 2)
+    ]
+    recs.append(
+        {"kind": "eval", "iter": 8, "stage": 2, "swd": 300.0,
+         "swd_ema": 280.0}
+    )
+    m.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    target = tmp_path / "curves.png"
+    plot_main([str(m), "-o", str(target)])
+    assert target.exists() and target.stat().st_size > 10_000
+    # directory form resolves to its metrics.jsonl
+    plot_main([str(tmp_path), "-o", str(tmp_path / "c2.png")])
+    assert (tmp_path / "c2.png").exists()
