@@ -105,6 +105,12 @@ def main() -> None:
         checkpoint_step=960,
         refresh_stat_step=10,
         seed=11,
+        # Extensions along for the ride (both proven not to perturb the
+        # training dynamics — the shadow is never trained against, and the
+        # eval consumes no training RNG):
+        ema_beta=0.999,
+        eval_step=240,
+        eval_images=64,
         checkpoint_dir=os.path.join(out_root, "checkpoints"),
         output_dir=os.path.join(out_root, "output"),
     )
@@ -123,10 +129,15 @@ def main() -> None:
     # ---- verify the run learned ----
     from byogan_tpu.train.metrics import read_metrics
 
-    metrics = read_metrics(os.path.join(config.output_dir, "metrics.jsonl"))
+    metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
+    all_records = read_metrics(metrics_path)
+    metrics = [r for r in all_records if "c_loss" in r]
+    evals = [r for r in all_records if r.get("kind") == "eval"]
     assert metrics, "no metrics logged"
     for rec in metrics:
         assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec
+    for rec in evals:
+        assert np.isfinite(rec["swd"]) and np.isfinite(rec["swd_ema"]), rec
 
     ds = StageDataset(data, 4)
     real = (
@@ -171,10 +182,22 @@ def main() -> None:
         "real_spatial_std": round(real_sstd, 4),
         "trained_spatial_std": round(trained_sstd, 4),
         "fresh_spatial_std": round(fresh_sstd, 4),
+        "swd_trajectory": evals,
     }
     with open(os.path.join(out_root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+
+    # Curves artifact: losses + SWD trajectory in one PNG (byogan-plot).
+    try:
+        from byogan_tpu.cli.plot import main as plot_main
+
+        plot_main([
+            metrics_path, "-o", os.path.join(out_root, "curves.png"),
+            "--title", "tpu_convergence (4px->32px, one v5e chip)",
+        ])
+    except Exception as e:  # plotting must never fail the proof
+        print(f"curves.png skipped: {e}")
 
     assert trained_err < fresh_err, (
         f"training did not move generated stats toward the data: "
