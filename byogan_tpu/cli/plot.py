@@ -46,8 +46,9 @@ def main(argv=None):
     any_eval = False
     runs = []
     for p in paths:
-        losses = [r for r in read_metrics(p) if "c_loss" in r]
-        evals = read_metrics(p, kind="eval")
+        records = read_metrics(p)
+        losses = [r for r in records if "c_loss" in r]
+        evals = [r for r in records if r.get("kind") == "eval"]
         any_eval = any_eval or bool(evals)
         runs.append((os.path.basename(os.path.dirname(p)) or p, losses, evals))
 
@@ -73,8 +74,23 @@ def main(argv=None):
                 if len(seen) > 1:
                     ax_loss.axvline(r["iter"], color="gray", lw=0.6, ls=":")
     ax_loss.set_ylabel("loss (window mean)")
-    ax_loss.legend(fontsize=8)
+    ax_loss.legend(fontsize=8, loc="upper left")
     ax_loss.grid(alpha=0.25)
+    # Throughput on a twin axis (the per-window images/sec readout).
+    ax_tp = ax_loss.twinx()
+    for name, losses, _ in runs:
+        pts = [r for r in losses if r.get("images_per_sec", 0) > 0]
+        if not pts:
+            continue
+        label = f" ({name})" if len(runs) > 1 else ""
+        ax_tp.plot(
+            [r["iter"] for r in pts],
+            [r["images_per_sec"] for r in pts],
+            color="tab:green", alpha=0.45, lw=1.0,
+            label=f"img/s{label}",
+        )
+    ax_tp.set_ylabel("images/sec", color="tab:green")
+    ax_tp.tick_params(axis="y", labelcolor="tab:green")
 
     if any_eval:
         ax_eval = axes[1][0]

@@ -134,6 +134,7 @@ def main() -> None:
     metrics = [r for r in all_records if "c_loss" in r]
     evals = [r for r in all_records if r.get("kind") == "eval"]
     assert metrics, "no metrics logged"
+    assert evals, "eval_step was set but no eval records were logged"
     for rec in metrics:
         assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec
     for rec in evals:
@@ -196,7 +197,9 @@ def main() -> None:
             metrics_path, "-o", os.path.join(out_root, "curves.png"),
             "--title", "tpu_convergence (4px->32px, one v5e chip)",
         ])
-    except Exception as e:  # plotting must never fail the proof
+    except (Exception, SystemExit) as e:  # plotting must never fail the
+        # proof (plot_main exits via SystemExit on a missing file, which
+        # plain `except Exception` would NOT catch)
         print(f"curves.png skipped: {e}")
 
     assert trained_err < fresh_err, (
