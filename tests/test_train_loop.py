@@ -116,13 +116,29 @@ def test_resume_trajectory_identical(data_root, tmp_path):
 
 def test_train_with_data_parallel_mesh(data_root, tmp_path):
     """config data_axis=2 makes the loop build a mesh, shard state + batches,
-    and run the whole schedule across the virtual devices."""
-    config = tiny_config(data_root, tmp_path, data_axis=2)
+    and run the whole schedule across the virtual devices — with the EMA
+    shadow and the periodic SWD eval riding on the sharded state."""
+    import json
+
+    config = tiny_config(
+        data_root, tmp_path, data_axis=2, ema_beta=0.5,
+        eval_step=2, eval_images=8,
+    )
     state = train(config, max_iters=4)
     assert int(state.iters) == 4
     assert np.isfinite(
         np.asarray(jax.tree.leaves(state.gen_params)[0], np.float32)
     ).all()
+    assert state.gen_ema is not None
+    with open(os.path.join(config.output_dir, "metrics.jsonl")) as f:
+        evals = [
+            json.loads(line)
+            for line in f
+            if '"kind": "eval"' in line
+        ]
+    assert evals and all(
+        np.isfinite(r["swd"]) and np.isfinite(r["swd_ema"]) for r in evals
+    )
 
 
 def test_training_is_deterministic(data_root, tmp_path):
