@@ -120,3 +120,43 @@ def test_export_cli_full_size(tmp_path):
     save = torch.load(out, weights_only=False)
     assert save["step"] == 1 and save["alpha"] == 0.25
     assert "module.to_w_noise.0.layers.0.0.weight" in save["gen"]
+
+
+def test_export_cli_ema(tmp_path):
+    """--ema exports the EMA shadow into the .pth 'gen' slot; without EMA
+    in the checkpoint it refuses."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from byogan_tpu.cli import export
+    from byogan_tpu.models.factory import ModelSpec, build_critic, build_generator
+
+    spec = ModelSpec()  # reference shape
+    config = small_config(noise_size=512, ema_beta=0.9)
+    gen, critic = build_generator(spec), build_critic(spec)
+    state = create_train_state(config, gen, critic)
+    # Make the shadow visibly different from the live weights.
+    state = state.replace(
+        gen_ema=jax.tree.map(lambda x: x + 1.0, state.gen_params),
+        iters=jnp.int32(5), stage=1,
+    )
+    ckpt = save_checkpoint(str(tmp_path / "a"), state, alpha=None,
+                           model_spec=spec)
+
+    out = str(tmp_path / "ema.pth")
+    export.main([ckpt, out, "--ema"])
+    save = torch.load(out, weights_only=False)
+    live = np.asarray(
+        jax.tree.leaves(state.gen_params)[0], np.float32
+    ).ravel()
+    exported = save["gen"]["module.to_w_noise.0.layers.0.0.bias"].numpy()
+    # exported values came from the shifted shadow, not the live weights
+    assert not np.allclose(exported[: live.size][:4], live[:4])
+
+    no_ema = create_train_state(
+        small_config(noise_size=512), gen, critic
+    ).replace(iters=jnp.int32(1), stage=1)
+    ckpt2 = save_checkpoint(str(tmp_path / "b"), no_ema, alpha=None,
+                            model_spec=spec)
+    with pytest.raises(SystemExit, match="no EMA"):
+        export.main([ckpt2, str(tmp_path / "x.pth"), "--ema"])
