@@ -223,3 +223,43 @@ def test_critic_512px_full_depth_parity(ref_modules):
     np.testing.assert_allclose(
         np.asarray(got), want.detach().cpu().numpy(), rtol=5e-4, atol=5e-4
     )
+
+
+@requires_reference
+def test_reference_strict_loads_our_export(ref_modules):
+    """The reference's OWN nn.Module consumes our exported state dict with
+    strict=True and renders the same pixels — the export interop claim
+    (cli/export.py) asserted at the torch API boundary, not just key sets."""
+    gan, _, _ = ref_modules
+    gen = Generator()
+    key = jax.random.PRNGKey(41)
+    z = jax.random.normal(jax.random.PRNGKey(42), (2, 512))
+    noise = [
+        jax.random.normal(jax.random.PRNGKey(43 + i), (2, 4 * 2**i, 4 * 2**i, 1))
+        for i in range(2)
+    ]
+    params = gen.init(key, z, noise, steps=2)["params"]
+
+    # Tensor conversion exactly as export_torch_checkpoint does it
+    # (checkpoint.py) — the raw converter returns numpy.
+    state_dict = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in generator_params_to_torch(
+            params, data_parallel_prefix=False
+        ).items()
+    }
+    ref = gan.Generator().eval()
+    missing = ref.load_state_dict(state_dict, strict=True)
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    ours = gen.apply({"params": params}, z, noise, steps=2, alpha=None)
+    with torch.no_grad():
+        theirs = ref.forward(
+            torch.from_numpy(np.asarray(z)),
+            noise=[from_nhwc(np.asarray(n)) for n in noise],
+            steps=2,
+            alpha=None,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), to_nhwc(theirs), **TOL
+    )
