@@ -105,7 +105,8 @@ def main(argv=None):
         )
 
     directions, eigvals = sefa_directions(
-        save["gen_params"], k=args.direction + 1, stages=stages
+        save["gen_params"], k=args.direction + 1, stages=stages,
+        trained_stages=steps,
     )
     direction = directions[args.direction]
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
+import sys
 
 
 def main(argv=None):
@@ -81,12 +81,22 @@ def main(argv=None):
     dataset = open_stage_dataset(args.data, sampler.steps)
     rng = np.random.default_rng(args.seed)
     n = args.images
-    if len(dataset) >= n:
-        idx = rng.choice(len(dataset), size=n, replace=False)
-    else:
-        idx = rng.choice(len(dataset), size=n, replace=True)
+    resampled = len(dataset) < n
+    if resampled:
+        print(
+            f"warning: dataset has {len(dataset)} images < n={n}; sampling "
+            "real images WITH replacement — scores are not comparable to "
+            "runs on larger datasets",
+            file=sys.stderr,
+        )
+    idx = rng.choice(len(dataset), size=n, replace=resampled)
     real = dataset.get_batch_uint8(np.sort(idx))
-    fake = sampler.sample(n)
+    # Float synthesis, NOT the uint8 serving path: the Sampler's uint8
+    # frames keep the reference's raw-range save quantization (negative
+    # half saturates — PARITY.md), which would structurally bias the
+    # comparison against full-range real pixels.  The SWD converts the
+    # uint8 reals to the same [-1,1] training range.
+    fake = sampler.sample_float(n)
 
     result = sliced_wasserstein_distance(
         real,
@@ -100,6 +110,7 @@ def main(argv=None):
         "metric": "swd_x1e3",
         "resolution": resolution,
         "n_images": n,
+        "resampled": resampled,
         "ema": bool(args.ema),
         "truncation": args.truncation,
         "per_level": {str(k): round(v, 3) for k, v in result.items()},

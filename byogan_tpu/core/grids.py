@@ -47,6 +47,23 @@ def to_uint8(image: np.ndarray) -> np.ndarray:
     )
 
 
+def uint8_to_training_range(u8):
+    """uint8 pixels -> float32 in [-1, 1] — THE training normalization
+    (``u8 * 2/255 - 1``, data/pipeline.py), shared by every metric/analysis
+    surface so real and generated pixels always meet in the same range.
+
+    NOT the inverse of :func:`to_uint8` — that is the reference's raw-range
+    SAVE rule, which maps [0,1] to [0,255] and saturates negatives.
+    """
+    import numpy as _np
+
+    if hasattr(u8, "device"):  # jax array: stay on device
+        import jax.numpy as _jnp
+
+        return u8.astype(_jnp.float32) * (2.0 / 255.0) - 1.0
+    return _np.asarray(u8, _np.float32) * (2.0 / 255.0) - 1.0
+
+
 def save_image(image: np.ndarray, path: str, compression: int = 6) -> None:
     """Save one HWC float image as PNG (torchvision ``save_image`` pixel
     parity; encoded natively when the IO library is built, PIL otherwise).

@@ -3,13 +3,19 @@ factorization).
 
 The reference offers no editing tools at all; this extension derives
 semantic directions WITHOUT any labels, data, or training: the top
-eigenvectors of ``A^T A`` where ``A`` stacks the AdaIN style-projection
-weights (`stages_i/conv{1,2}/adain/style/weight`, each
+eigenvectors of ``A A^T`` (a style_dim x style_dim matrix) where ``A``
+stacks the AdaIN style-projection weights
+(`stages_i/conv{1,2}/adain/style/weight`, each
 ``(style_dim, 2*channels)``) — the directions in W along which the
 per-layer modulations change the most (Shen & Zhou, "Closed-Form
 Factorization of Latent Semantics in GANs", 2021; method reimplemented
 from the paper's description).  Restricting to a stage range localizes the
 edit: early stages move coarse structure, late stages fine texture.
+
+IMPORTANT: every checkpoint carries ALL stages' parameters from init
+(models/generator.py builds full depth); pass ``trained_stages`` (the
+checkpoint's ``step``) so the factorization excludes the random-init
+stages beyond it — their noise otherwise contaminates the eigenvectors.
 
 Pairs with the generator's style injection (models/generator.py) and the
 projector (projector.py): invert an image to w, walk it along a direction,
@@ -27,14 +33,20 @@ import numpy as np
 
 
 def style_projection_matrix(
-    gen_params, stages: Optional[Sequence[int]] = None
+    gen_params,
+    stages: Optional[Sequence[int]] = None,
+    trained_stages: Optional[int] = None,
 ) -> np.ndarray:
     """Stack the AdaIN style-projection weights of the chosen stages.
 
     Returns ``(style_dim, sum 2*channels)``.  The equalized-LR runtime
     scale (sqrt(2/style_dim)) is identical for every projection, so it
-    cancels in the eigendecomposition and is omitted.
+    cancels in the eigendecomposition and is omitted.  ``trained_stages``
+    (the checkpoint's ``step``) caps the default all-stages selection so
+    random-init stages beyond it never enter (module docstring).
     """
+    if stages is None and trained_stages is not None:
+        stages = range(trained_stages)
     mats = []
     i = 0
     while f"stages_{i}" in gen_params:
@@ -52,13 +64,16 @@ def sefa_directions(
     gen_params,
     k: int = 10,
     stages: Optional[Sequence[int]] = None,
+    trained_stages: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-``k`` unit edit directions in W, strongest first.
 
     Returns ``(directions (k, style_dim), eigenvalues (k,))``; directions
-    are orthonormal (eigenvectors of the symmetric ``A A^T``).
+    are orthonormal (eigenvectors of the symmetric ``A A^T``).  Pass
+    ``trained_stages`` = the checkpoint's ``step`` unless ``stages`` is
+    explicit (module docstring: untrained stages are random init).
     """
-    a = style_projection_matrix(gen_params, stages)
+    a = style_projection_matrix(gen_params, stages, trained_stages)
     m = a @ a.T  # (style_dim, style_dim)
     vals, vecs = np.linalg.eigh(m)  # ascending
     order = np.argsort(vals)[::-1][:k]
@@ -122,6 +137,14 @@ def edit_sheet(
     if w_plus and w.shape[1] != steps:
         raise ValueError(
             f"W+ latent has {w.shape[1]} stage rows, checkpoint uses {steps}"
+        )
+    if edit_stages is not None and any(
+        not 0 <= s < steps for s in edit_stages
+    ):
+        raise ValueError(
+            f"edit_stages {list(edit_stages)} outside [0, {steps}) — an "
+            "out-of-range restriction would silently render an unedited "
+            "sheet"
         )
     d = jnp.asarray(direction, jnp.float32)
     batch = w.shape[0]

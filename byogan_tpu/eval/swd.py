@@ -156,7 +156,9 @@ def sliced_wasserstein_distance(
     def to_float(x):
         x = jnp.asarray(x)
         if x.dtype == jnp.uint8:
-            x = x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            from byogan_tpu.core.grids import uint8_to_training_range
+
+            x = uint8_to_training_range(x)
         return x.astype(jnp.float32)
 
     real_levels = laplacian_pyramid(to_float(real), min_size)

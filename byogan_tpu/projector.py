@@ -150,7 +150,9 @@ def project(
     """
     target = jnp.asarray(target)
     if target.dtype == jnp.uint8:
-        target = target.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        from byogan_tpu.core.grids import uint8_to_training_range
+
+        target = uint8_to_training_range(target)
     target = target.astype(jnp.float32)
     expect = 4 * 2 ** (steps - 1)
     if target.shape[1] != expect or target.shape[2] != expect:
@@ -167,6 +169,16 @@ def project(
                 w_init[:, None, :], (batch, steps, wm.shape[-1])
             )
     w_init = jnp.asarray(w_init, jnp.float32)
+    want = (batch, steps, None) if w_plus else (batch, None)
+    if w_init.ndim != len(want) or any(
+        e is not None and w_init.shape[i] != e for i, e in enumerate(want)
+    ):
+        raise ValueError(
+            f"w_init shape {w_init.shape} does not match "
+            f"{'(batch, steps, style_dim)' if w_plus else '(batch, style_dim)'}"
+            f" for batch={batch}, steps={steps} — a saved 1-D w must be "
+            "given a batch axis (w[None, :])"
+        )
     w, image, losses = _project_jit(
         gen,
         params,

@@ -107,7 +107,8 @@ class Sampler:
         w_mean, psi = self._w_mean, truncation_psi
         self._mix_cache: dict = {}
 
-        def synth(params, key):
+        def synth_raw(params, key):
+            """Float NHWC frames in the generator's raw ~[-1,1] range."""
             kz, kn = jax.random.split(key)
             z = truncated_noise(kz, batch, z_dim, truncation, compute_dtype)
             noise = synthesis_noise(kn, batch, steps, dtype=compute_dtype)
@@ -139,14 +140,19 @@ class Sampler:
                     alpha=None if alpha is None else jnp.float32(alpha),
                     style=w,
                 )
+            return img.astype(jnp.float32)
+
+        def synth(params, key):
             # Quantize ON DEVICE (torchvision save_image rounding, identical
             # to core.grids.to_uint8): a uint8 frame is 4x less device->host
             # traffic than float32 — the fetch, not the compute, bounds
             # serving throughput on bandwidth-limited hosts.
-            img32 = img.astype(jnp.float32)
+            img32 = synth_raw(params, key)
             return jnp.clip(img32 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
         self._synth = jax.jit(synth)
+        self._synth_raw = synth_raw
+        self._synth_float = None  # lazily jitted by sample_float
 
     @property
     def resolution(self) -> int:
@@ -228,6 +234,28 @@ class Sampler:
     def sample(self, n: int) -> np.ndarray:
         """n uint8 HWC frames (save_image rounding — SURVEY §3.2 range note)."""
         return np.concatenate(list(self.sample_batches(n)), axis=0)
+
+    def sample_float(self, n: int) -> np.ndarray:
+        """n float32 NHWC frames in the generator's raw ~[-1,1] range.
+
+        For metrics/analysis: the uint8 path deliberately keeps the
+        reference's raw-range save quantization (the negative half
+        saturates to 0 — PARITY.md), which would structurally bias any
+        distribution comparison against full-range real pixels.
+        """
+        if self._synth_float is None:
+            self._synth_float = jax.jit(self._synth_raw)
+        out = []
+        produced = 0
+        while produced < n:
+            take = min(self.batch, n - produced)
+            frames = np.asarray(
+                self._synth_float(self._params, self._next_key()),
+                np.float32,
+            )
+            out.append(frames[:take])
+            produced += take
+        return np.concatenate(out, axis=0)
 
     def save_stream(
         self, directory: str, n: int, prefix: str = "image_"

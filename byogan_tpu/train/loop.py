@@ -469,10 +469,10 @@ def _log_swd_eval(
     n = min(config.eval_images, len(dataset))
     rkey = ("swd_real", steps)
     if rkey not in eval_cache:
+        from byogan_tpu.core.grids import uint8_to_training_range
+
         u8 = dataset.get_batch_uint8(np.arange(n))
-        eval_cache[rkey] = (
-            jnp.asarray(u8, jnp.float32) * (2.0 / 255.0) - 1.0
-        )
+        eval_cache[rkey] = jnp.asarray(uint8_to_training_range(u8))
     real = eval_cache[rkey]
 
     skey = ("swd_synth", steps, fade, n)

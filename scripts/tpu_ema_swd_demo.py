@@ -49,7 +49,9 @@ def swd_for_params(gen_params, spec, steps, real_u8, seed=7):
     noise = synthesis_noise(kn, n, steps)
     fake = gen.apply({"params": gen_params}, z, noise, steps=steps, alpha=None)
     # real pixels to the training range [-1,1]; fakes are already there
-    real = jnp.asarray(real_u8, jnp.float32) * (2.0 / 255.0) - 1.0
+    from byogan_tpu.core.grids import uint8_to_training_range
+
+    real = jnp.asarray(uint8_to_training_range(real_u8))
     return sliced_wasserstein_distance(
         real, jnp.asarray(fake, jnp.float32), jax.random.PRNGKey(seed + 1),
         patches_per_image=64, min_size=8,

@@ -68,3 +68,16 @@ def test_sampler_on_mesh(ckpt):
     # mesh output matches the single-device sampler bit-for-bit
     single = Sampler(ckpt, batch=8, z_dim=32, dtype="float32", seed=2)
     np.testing.assert_array_equal(out, single.sample(8))
+
+
+def test_sample_float_raw_range(ckpt):
+    """sample_float returns raw-range float frames — no save quantization
+    (the uint8 path saturates the negative half by design)."""
+    s = Sampler(ckpt, batch=4, dtype="float32", seed=2)
+    frames = s.sample_float(6)
+    assert frames.shape == (6, s.resolution, s.resolution, 3)
+    assert frames.dtype == np.float32
+    assert np.isfinite(frames).all()
+    # a fresh-init generator's raw output has mass below 0 that the uint8
+    # path would have clipped away
+    assert frames.min() < 0.0
