@@ -25,7 +25,7 @@ import os
 import time
 
 
-def main() -> None:
+def main(retried: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +115,10 @@ def main() -> None:
                 "achieved_tflops": tflops,
                 "mfu": round(tflops / 197.0, 3) if tflops else None,
                 "step_flops": step_flops,
+                # True when the first attempt crashed and this number comes
+                # from the retry — a real regression must not masquerade as
+                # a clean run.
+                "retried": retried,
             }
         )
     )
@@ -130,4 +134,4 @@ if __name__ == "__main__":
 
         traceback.print_exc()
         print("bench: transient failure, retrying once", file=sys.stderr)
-        main()
+        main(retried=True)

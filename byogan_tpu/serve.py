@@ -101,10 +101,8 @@ class Sampler:
         compute_dtype = model_dtype or jnp.float32
         self._compute_dtype = compute_dtype
         self.truncation_psi = truncation_psi
-        self._w_mean = (
-            self._compute_w_mean() if truncation_psi is not None else None
-        )
-        w_mean, psi = self._w_mean, truncation_psi
+        self._w_mean = None  # computed lazily; see _ensure_w_mean
+        get_w_mean, psi = self._ensure_w_mean, truncation_psi
         self._mix_cache: dict = {}
 
         def synth_raw(params, key):
@@ -134,7 +132,8 @@ class Sampler:
             else:
                 # W-space truncation: pull w toward the mean w (extension).
                 w = gen.apply(params, z, method="map_latent")
-                w = w_mean.astype(w.dtype) + psi * (w - w_mean.astype(w.dtype))
+                wm = get_w_mean().astype(w.dtype)
+                w = wm + psi * (w - wm)
                 img = gen.apply(
                     params, None, noise, steps=steps,
                     alpha=None if alpha is None else jnp.float32(alpha),
@@ -162,12 +161,22 @@ class Sampler:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _compute_w_mean(self) -> jax.Array:
+    def _ensure_w_mean(self) -> jax.Array:
         """Canonical W center (projector.mean_w: fixed key, jitted once),
-        so every surface on a given checkpoint agrees on the mean w."""
-        from byogan_tpu.projector import mean_w
+        so every surface on a given checkpoint agrees on the mean w.
 
-        return mean_w(self._gen, self._params, self.z_dim, self.truncation)
+        Computed LAZILY at the first synthesis trace, not at construction:
+        the 4096-latent mapping forward (on the tunneled TPU backend, a
+        surprise multi-second compile) bills to the first request instead
+        of making ``Sampler(truncation_psi=...)`` itself block.
+        """
+        if self._w_mean is None:
+            from byogan_tpu.projector import mean_w
+
+            self._w_mean = mean_w(
+                self._gen, self._params, self.z_dim, self.truncation
+            )
+        return self._w_mean
 
     def style_mix(self, n: int, crossover: int) -> np.ndarray:
         """n uint8 frames with COARSE stages (< ``crossover``) styled by one
@@ -184,7 +193,7 @@ class Sampler:
         if key_fn is None:
             gen, steps, alpha = self._gen, self.steps, self.alpha
             compute_dtype = self._compute_dtype
-            w_mean, psi = self._w_mean, self.truncation_psi
+            get_w_mean, psi = self._ensure_w_mean, self.truncation_psi
 
             def mix(params, key):
                 ka, kb, kn = jax.random.split(key, 3)
@@ -196,7 +205,7 @@ class Sampler:
                     )
                     w = gen.apply(params, z, method="map_latent")
                     if psi is not None:
-                        wm = w_mean.astype(w.dtype)
+                        wm = get_w_mean().astype(w.dtype)
                         w = wm + psi * (w - wm)
                     return w
 

@@ -144,9 +144,23 @@ def load_checkpoint(
 
         return load_torch_checkpoint(path)
 
+    # A typo'd path must say "checkpoint not found", not die opening a
+    # missing byogan_meta.json inside a directory that never existed.
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path} (expected a byogan_tpu checkpoint "
+            "directory or a reference .pth file)"
+        )
+    meta_path = os.path.join(path, _META_NAME)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{path} is a directory but not a byogan_tpu checkpoint "
+            f"(missing {_META_NAME})"
+        )
+
     # Meta first: whether the saved tree carries an EMA branch decides the
     # restore template's structure (orbax requires an exact match).
-    with open(os.path.join(path, _META_NAME)) as f:
+    with open(meta_path) as f:
         meta = json.load(f)
     has_ema = bool(meta.get("ema", False))
 

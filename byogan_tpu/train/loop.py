@@ -246,6 +246,12 @@ def _train(
         steps = index + 1
         if last_stage is not None and steps < last_stage:
             continue
+        # Earlier stages' eval artifacts are dead weight from here on: the
+        # SWD real-image cache in particular holds eval_images float32
+        # frames per stage on device (~800MB at stage 8 with 256 images) —
+        # without eviction a full 512px run with eval_step > 0 accumulates
+        # every stage's cache and bleeds HBM.
+        _evict_stage_cache(eval_cache, steps)
         batch = config.stage_batch(index)
         stage_epochs = config.stage_epochs(index)
 
@@ -407,6 +413,20 @@ def _train(
     logger.close()
     print("TRAINING IS FINISHED - MODEL SAVED!")
     return state
+
+
+def _evict_stage_cache(eval_cache: Dict[tuple, object], steps: int) -> None:
+    """Drop eval-cache entries belonging to stages other than ``steps``.
+
+    Keys are ``(steps, fade)`` (sample-grid step fns),
+    ``("swd_real", steps)`` (cached real frames — the HBM-heavy one), and
+    ``("swd_synth", steps, fade, n)`` (jitted synth fns).  The stage lives
+    at key[0] for int-keyed entries and key[1] for string-tagged ones.
+    """
+    for key in list(eval_cache):
+        key_steps = key[1] if isinstance(key[0], str) else key[0]
+        if key_steps != steps:
+            del eval_cache[key]
 
 
 def _save_sample_grid(

@@ -46,3 +46,50 @@ requires_reference = pytest.mark.skipif(
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --- shared tiny-model builders -------------------------------------------
+# One home for the small factory config used across the suite (train-step,
+# checkpoint, CLI, parallel, serve tests) instead of cross-test-file imports.
+
+SMALL_GEN_CHANNELS = ((64, 64), (64, 32), (32, 16))
+SMALL_CRITIC_FROM_RGB = (16, 32, 64)
+SMALL_CRITIC_BLOCKS = ((16, 32), (32, 64), (64, 64))
+
+
+def small_generator():
+    from byogan_tpu.models import Generator
+
+    return Generator(channels=SMALL_GEN_CHANNELS, style_dim=32, mapping_depth=2)
+
+
+def small_critic():
+    from byogan_tpu.models import Critic
+
+    return Critic(
+        from_rgb_channels=SMALL_CRITIC_FROM_RGB,
+        block_channels=SMALL_CRITIC_BLOCKS,
+    )
+
+
+def small_config(**kw):
+    from byogan_tpu.train.config import TrainConfig
+
+    defaults = dict(
+        noise_size=32,
+        compute_dtype="float32",
+        batch_progression=(4, 4, 4),
+        epoch_progression=(1, 1, 1),
+        learning_rate=0.001,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def build(config):
+    from byogan_tpu.train.state import create_train_state
+
+    gen = small_generator()
+    critic = small_critic()
+    state = create_train_state(config, gen, critic)
+    return gen, critic, state

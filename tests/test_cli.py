@@ -11,7 +11,7 @@ from byogan_tpu.cli import generate_samples, interpolate, prep
 from byogan_tpu.data.synthetic import write_synthetic_dataset
 from byogan_tpu.train.checkpoint import save_checkpoint
 from byogan_tpu.train.state import create_train_state
-from tests.test_train_step import build, small_config
+from tests.conftest import build, small_config
 
 
 @pytest.fixture(scope="module")

@@ -84,7 +84,7 @@ def test_wgan_gp_matches_torch_oracle():
 
 def test_wgan_gp_gradients_flow():
     """Outer param-grad through the double-backward is finite and nonzero."""
-    from tests.test_models_smoke import small_critic
+    from tests.conftest import small_critic
 
     critic = small_critic()
     key = jax.random.PRNGKey(0)

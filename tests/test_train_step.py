@@ -6,35 +6,17 @@ import numpy as np
 import pytest
 
 from byogan_tpu.models import Critic, Generator
-from byogan_tpu.train.config import TrainConfig
-from byogan_tpu.train.state import TrainState, create_train_state, make_gen_optimizer
+from byogan_tpu.train.state import make_gen_optimizer
 from byogan_tpu.train.steps import make_eval_step, make_train_step
-from tests.test_models_smoke import (
+from tests.conftest import (
     SMALL_CRITIC_BLOCKS,
     SMALL_CRITIC_FROM_RGB,
     SMALL_GEN_CHANNELS,
+    build,
+    small_config,
     small_critic,
     small_generator,
 )
-
-
-def small_config(**kw):
-    defaults = dict(
-        noise_size=32,
-        compute_dtype="float32",
-        batch_progression=(4, 4, 4),
-        epoch_progression=(1, 1, 1),
-        learning_rate=0.001,
-    )
-    defaults.update(kw)
-    return TrainConfig(**defaults)
-
-
-def build(config):
-    gen = small_generator()
-    critic = small_critic()
-    state = create_train_state(config, gen, critic)
-    return gen, critic, state
 
 
 @pytest.mark.parametrize("use_r1", [True, False])
