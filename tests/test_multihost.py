@@ -1,0 +1,44 @@
+"""Real multi-process smoke: the one code path no in-process test can reach.
+
+Launches scripts/multihost_smoke.py, which spawns an actual 2-process
+``jax.distributed.initialize`` CPU cluster (4 virtual devices each, gloo
+collectives) plus a single-process 8-device oracle, runs real train steps
+through ``make_stage_loader(process_index, process_count)`` +
+``device_prefetch(process_count=2)`` (the
+``jax.make_array_from_process_local_data`` assembly branch,
+data/pipeline.py), and asserts the two trajectories match.  See the script
+docstring for the full contract (VERDICT r2 missing #1; SURVEY.md §2.6).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_cluster_matches_single_process(tmp_path):
+    out = tmp_path / "report.json"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "multihost_smoke.py"),
+            "--json-out",
+            str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        proc.stdout[-3000:] + "\n" + proc.stderr[-3000:]
+    )
+    report = json.loads(out.read_text())
+    assert report["losses_match_single_process"] is True
+    for tag in ("worker0", "worker1"):
+        run = report["runs"][tag]
+        assert run["process_count"] == 2
+        assert run["devices"] == 8 and run["local_devices"] == 4
+        assert len(run["c_losses"]) == report["steps"]
