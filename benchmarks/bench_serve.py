@@ -5,6 +5,7 @@ import tempfile
 import time
 
 import jax.numpy as jnp
+import numpy as np
 
 from byogan_tpu.core.cache import enable_compilation_cache
 
@@ -39,6 +40,45 @@ def main():
         "unit": "pngs/sec (synthesis+encode, 1 host core)",
         "n": written,
     }))
+    # Opt-in encode lanes (VERDICT r2 #7): jpeg moves the 512px encode bound;
+    # raw (.npy) is the no-encode ceiling = synthesis-bound throughput.
+    for fmt in ("jpeg", "raw"):
+        t0 = time.perf_counter()
+        written = s.save_stream(os.path.join(tmp, f"out_{fmt}"), n, format=fmt)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"serve_{fmt}_per_sec_512px",
+            "value": round(written / dt, 2),
+            "unit": f"{fmt} imgs/sec (synthesis+encode, 1 host core)",
+            "n": written,
+        }))
+
+    # Encode phase in isolation (frames already in host RAM).  On this
+    # tunneled host every end-to-end lane saturates the ~18MB/s device->host
+    # fetch, so the lanes tie above; on a production host (PCIe, GB/s fetch)
+    # the encode phase IS the serving bound and these rows are the ones
+    # that move (RESULTS.md round 3).
+    from byogan_tpu.serve import _save_u8, _save_u8_jpeg
+
+    frames = s.sample(64)
+    lanes = {
+        "png": lambda f, p: _save_u8(f, p + ".png"),
+        "jpeg": lambda f, p: _save_u8_jpeg(f, p + ".jpg", 92),
+        "raw": lambda f, p: np.save(p + ".npy", f),
+    }
+    enc_dir = os.path.join(tmp, "enc")
+    os.makedirs(enc_dir, exist_ok=True)
+    for fmt, save in lanes.items():
+        t0 = time.perf_counter()
+        for i, f in enumerate(frames):
+            save(f, os.path.join(enc_dir, f"{fmt}_{i}"))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"encode_only_{fmt}_per_sec_512px",
+            "value": round(len(frames) / dt, 2),
+            "unit": f"{fmt} imgs/sec (encode only, 1 host core)",
+            "n": len(frames),
+        }))
 
 
 if __name__ == "__main__":

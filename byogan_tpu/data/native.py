@@ -56,7 +56,13 @@ def load_library():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.byogan_encode_png.restype = ctypes.c_int
-            assert lib.byogan_abi_version() == 1
+            lib.byogan_encode_jpeg.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.byogan_encode_jpeg.restype = ctypes.c_int
+            assert lib.byogan_abi_version() == 2
             _lib = lib
             return lib
         except Exception:
@@ -115,6 +121,21 @@ def encode_png(path: str, image: np.ndarray, compression: int = 6) -> bool:
     )
     if rc != 0:
         raise OSError(f"native png encode failed ({rc}): {path}")
+    return True
+
+
+def encode_jpeg(path: str, image: np.ndarray, quality: int = 92) -> bool:
+    """Write an HWC RGB uint8 JPEG natively; False if lib unavailable."""
+    lib = load_library()
+    if lib is None:
+        return False
+    image = np.ascontiguousarray(image)
+    assert image.dtype == np.uint8 and image.ndim == 3 and image.shape[2] == 3
+    rc = lib.byogan_encode_jpeg(
+        path.encode(), _u8ptr(image), image.shape[0], image.shape[1], quality
+    )
+    if rc != 0:
+        raise OSError(f"native jpeg encode failed ({rc}): {path}")
     return True
 
 

@@ -42,6 +42,17 @@ def _save_u8(frame: np.ndarray, path: str) -> None:
     Image.fromarray(frame).save(path)
 
 
+def _save_u8_jpeg(frame: np.ndarray, path: str, quality: int) -> None:
+    """JPEG-encode a uint8 HWC frame (native libjpeg, PIL fallback)."""
+    from byogan_tpu.data.native import encode_jpeg
+
+    if encode_jpeg(path, frame, quality=quality):
+        return
+    from PIL import Image
+
+    Image.fromarray(frame).save(path, quality=quality)
+
+
 class Sampler:
     def __init__(
         self,
@@ -93,6 +104,15 @@ class Sampler:
 
             replicated = NamedSharding(mesh, P())
             self._params = jax.device_put(self._params, replicated)
+        else:
+            # Commit the restored (numpy — checkpoint loads are
+            # device-agnostic, train/checkpoint.py) weights to the device
+            # ONCE.  Leaving them as numpy makes every jitted synthesis
+            # call re-upload the full parameter set host->device: on a
+            # tunneled/bandwidth-limited host that is ~3s per batch of an
+            # 82MB full-depth generator — measured 24 -> 203 img/s at
+            # 512px from this one device_put (benchmarks/RESULTS.md r3).
+            self._params = jax.device_put(self._params)
         self._key = jax.random.PRNGKey(
             int.from_bytes(os.urandom(4), "little") if seed is None else seed
         )
@@ -267,9 +287,27 @@ class Sampler:
         return np.concatenate(out, axis=0)
 
     def save_stream(
-        self, directory: str, n: int, prefix: str = "image_"
+        self,
+        directory: str,
+        n: int,
+        prefix: str = "image_",
+        format: str = "png",
+        jpeg_quality: int = 92,
     ) -> int:
-        """Write n PNGs, overlapping encode (host) with synthesis (device)."""
+        """Write n images, overlapping encode (host) with synthesis (device).
+
+        ``format`` picks the encode lane (default stays reference-faithful
+        PNG, generate_samples.py:54-59):
+          - "png":  lossless, zlib level 1 — encode-bound at 512px on this
+            single host core (~19 img/s vs ~284 img/s synthesis).
+          - "jpeg": native libjpeg at ``jpeg_quality`` — the fast lane for
+            bulk serving (measured in benchmarks/RESULTS.md round 3).
+          - "raw":  uint8 HWC .npy per frame, no encode at all — the
+            zero-host-cost ceiling; consumers np.load() them.
+        """
+        if format not in ("png", "jpeg", "raw"):
+            raise ValueError(f"unknown save_stream format: {format!r}")
+        ext = {"png": ".png", "jpeg": ".jpg", "raw": ".npy"}[format]
         os.makedirs(directory, exist_ok=True)
         q: "queue.Queue" = queue.Queue(maxsize=4)
         _DONE = object()
@@ -286,9 +324,13 @@ class Sampler:
                 try:
                     for frame in item:  # frames arrive uint8 from the device
                         idx += 1
-                        _save_u8(
-                            frame, os.path.join(directory, f"{prefix}{idx}.png")
-                        )
+                        path = os.path.join(directory, f"{prefix}{idx}{ext}")
+                        if format == "png":
+                            _save_u8(frame, path)
+                        elif format == "jpeg":
+                            _save_u8_jpeg(frame, path, jpeg_quality)
+                        else:
+                            np.save(path, frame)
                 except Exception as e:  # surface encode errors to the caller
                     error.append(e)
 

@@ -34,12 +34,53 @@ def test_sampler_shapes_and_tiling(ckpt):
     assert out.dtype == np.uint8
 
 
+def test_sampler_params_committed_to_device(ckpt):
+    """Checkpoint restores are numpy (device-agnostic, checkpoint.py); the
+    Sampler must device_put them ONCE at construction.  Numpy leaves passed
+    as jit arguments re-upload the whole parameter set every call — measured
+    24 vs 203 img/s at 512px on the tunneled TPU host (RESULTS.md round 3)."""
+    import jax
+
+    s = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=0)
+    for leaf in jax.tree.leaves(s._params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 def test_sampler_stream_writer(ckpt, tmp_path):
     s = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=1)
     n = s.save_stream(str(tmp_path / "out"), 5)
     assert n == 5
     files = sorted(glob.glob(str(tmp_path / "out" / "image_*.png")))
     assert len(files) == 5
+
+
+def test_sampler_stream_formats(ckpt, tmp_path):
+    """Opt-in jpeg/raw encode lanes (VERDICT r2 #7) write decodable frames
+    that match the PNG lane's pixels (raw exactly; jpeg approximately)."""
+    mk = lambda: Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=3)
+    s = mk()
+    assert mk().save_stream(str(tmp_path / "jpg"), 5, format="jpeg") == 5
+    assert mk().save_stream(str(tmp_path / "raw"), 5, format="raw") == 5
+    jpgs = sorted(glob.glob(str(tmp_path / "jpg" / "image_*.jpg")))
+    raws = sorted(glob.glob(str(tmp_path / "raw" / "image_*.npy")))
+    assert len(jpgs) == 5 and len(raws) == 5
+
+    # same seed -> same frames: raw must equal the sampler's uint8 output
+    ref = Sampler(ckpt, batch=4, z_dim=32, dtype="float32", seed=3).sample(5)
+    got = np.stack([np.load(p) for p in sorted(
+        raws, key=lambda p: int(os.path.basename(p)[6:-4]))])
+    np.testing.assert_array_equal(got, ref)
+
+    from PIL import Image
+
+    first = np.asarray(Image.open(jpgs[0]))
+    assert first.shape == ref[0].shape
+    # fresh-init 16px frames are saturated noise — JPEG's worst case; this
+    # bounds gross corruption (wrong frame/channel order), not codec fidelity
+    assert np.abs(first.astype(np.int32) - ref[0].astype(np.int32)).mean() < 64
+
+    with pytest.raises(ValueError):
+        s.save_stream(str(tmp_path / "bad"), 1, format="bmp")
 
 
 def test_sampler_deterministic_given_seed(ckpt):
