@@ -22,6 +22,8 @@ from byogan_tpu.models.layers import (
     EqualizedConv,
     EqualizedDense,
     MinibatchStdDev,
+    _maybe_cast,
+    equalized_conv_pool2x_apply,
     leaky_relu,
 )
 
@@ -99,11 +101,16 @@ class CriticBlock(nn.Module):
             name="conv1", **common,
         )(x)
         out = leaky_relu(out)
-        out = EqualizedConv(
+        # conv2 -> AvgPool(2) (gan.py:258-262) as ONE stride-2 4x4 conv —
+        # exact algebraic fusion, 2.25x fewer MACs, pre-pool slab never hits
+        # HBM (layers.equalized_conv_pool2x_apply).  Same "conv2" param tree.
+        w, b, scale = EqualizedConv(
             features=self.out_channels, kernel_size=3, padding=1,
             name="conv2", **common,
-        )(out)
-        out = avg_pool2x(out)
+        ).scaled_params(out.shape[-1])
+        out = equalized_conv_pool2x_apply(
+            _maybe_cast(out, self.dtype), w, b, scale
+        )
         return leaky_relu(out)
 
 

@@ -85,6 +85,45 @@ def equalized_conv_apply(
     return out + b
 
 
+def equalized_conv_pool2x_apply(
+    x: jax.Array, w: jax.Array, b: jax.Array, scale: float
+) -> jax.Array:
+    """conv3x3(pad=1) -> AvgPool(2), folded into ONE stride-2 4x4 conv.
+
+    The reference's critic blocks run ``conv2 -> AvgPool2d(2)`` back to back
+    (gan.py:258-262) with nothing in between, so the pair composes exactly:
+
+        pool(conv(x, w))[p] = sum_u x[2p + u - 1] * w4[u]   per spatial axis,
+        w4[u] = 1/4 * sum_{d in {0,1}} w[u - d]             (w zero outside)
+
+    i.e. a 4x4 kernel, stride 2, padding 1.  Bias commutes with the mean pool.
+    This cuts the conv's MACs 2.25x (16 taps/output vs 36) and never
+    materialises the pre-pool slab in HBM — measured 3.2x on the stage-6
+    critic conv stack fwd+bwd (benchmarks/RESULTS.md round 3).  Max deviation
+    from the unfused pair is float-rounding only (~1e-5 relative, f32).
+    """
+    w = w * scale  # fold in f32 before the pool algebra, then cast once
+    pad = jnp.pad
+    zeros2 = ((0, 0), (0, 0))
+    w4 = (
+        pad(w, ((1, 0), (1, 0)) + zeros2)
+        + pad(w, ((0, 1), (1, 0)) + zeros2)
+        + pad(w, ((1, 0), (0, 1)) + zeros2)
+        + pad(w, ((0, 1), (0, 1)) + zeros2)
+    ) * 0.25
+    w4 = _maybe_cast(w4, x.dtype)
+    b = _maybe_cast(b, x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w4,
+        window_strides=(2, 2),
+        padding=[(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return out + b
+
+
 class EqualizedConv(nn.Module):
     """Equalized-LR conv (reference ``EqualizedConv2d``, gan.py:20-38).
 
