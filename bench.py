@@ -46,9 +46,13 @@ def main(retried: bool = False) -> None:
 
     # BENCH_EMA=0.999 measures the EMA shadow's throughput cost (default off
     # = the headline configuration).
+    # BENCH_R1_INTERVAL=N measures lazy R1 regularization (opt-in extension;
+    # default 1 = the reference-faithful headline: penalty every iteration).
+    r1_interval = int(os.environ.get("BENCH_R1_INTERVAL", 1))
     config = TrainConfig(
         compute_dtype=dtype,
         ema_beta=float(os.environ.get("BENCH_EMA", 0.0)),
+        r1_interval=r1_interval,
     )
     model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
     gen = Generator(dtype=model_dtype)
@@ -119,6 +123,9 @@ def main(retried: bool = False) -> None:
                 # from the retry — a real regression must not masquerade as
                 # a clean run.
                 "retried": retried,
+                # Only present for opt-in lazy-R1 measurements; the headline
+                # always runs the reference-faithful r1_interval=1.
+                **({"r1_interval": r1_interval} if r1_interval != 1 else {}),
             }
         )
     )

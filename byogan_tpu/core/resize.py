@@ -55,6 +55,11 @@ def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
     return stacked.reshape(new_shape)
 
 
+# Public alias: the fused upsample+conv path (models/layers.py) upsamples
+# single border lines with the same stencil.
+upsample2x_axis = _upsample2x_axis
+
+
 def upsample2x_bilinear(x: jax.Array) -> jax.Array:
     """NHWC 2x bilinear upsample matching torch ``Upsample(2, "bilinear")``."""
     x = _upsample2x_axis(x, 1)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from byogan_tpu.core.resize import upsample2x_bilinear
+from byogan_tpu.core.resize import upsample2x_axis, upsample2x_bilinear
 from byogan_tpu.ops.fused import leaky_relu, noise_lrelu_adain  # noqa: F401
 # (leaky_relu lives in ops.fused — the single definition of the reference's
 # sole activation, gan.py:86 etc.)
@@ -122,6 +122,121 @@ def equalized_conv_pool2x_apply(
         preferred_element_type=x.dtype,
     )
     return out + b
+
+
+# Per-axis phase matrices for the fused upsample2x -> conv3x3 (below).
+# Row i = coefficient of replicate-padded input xp[k+i]; column t = conv tap
+# w[t].  Derived by composing the closed-form bilinear stencil
+# (core/resize.py: out[2k] = 0.25 x[k-1] + 0.75 x[k], out[2k+1] = 0.75 x[k]
+# + 0.25 x[k+1], edge-clamped) with a zero-padded 3-tap conv.
+_UPCONV_M_EVEN = (
+    (0.75, 0.25, 0.0),
+    (0.25, 0.75, 0.75),
+    (0.0, 0.0, 0.25),
+)
+_UPCONV_M_ODD = (
+    (0.25, 0.0, 0.0),
+    (0.75, 0.75, 0.25),
+    (0.0, 0.25, 0.75),
+)
+
+
+def equalized_upsample2x_conv_apply(
+    x: jax.Array, w: jax.Array, b: jax.Array, scale: float
+) -> jax.Array:
+    """upsample2x_bilinear -> conv3x3(pad=1), fused into ONE low-res conv.
+
+    The generator's non-initial stages run ``Upsample(2, bilinear)`` straight
+    into a 3x3 conv (reference gan.py:112, 122-123 -> gan.py:86).  Both are
+    linear, so the pair composes exactly into a subpixel (phase) conv on the
+    LOW-res grid: each of the 4 output phases (even/odd row x even/odd col)
+    is a 3x3 conv over the replicate-padded input with a kernel that is a
+    fixed linear map of ``w`` (``_UPCONV_M_*``).  Stacking the 4 phase
+    kernels along the output-channel axis gives one VALID conv producing
+    (N, H, W, 4*Cout), interleaved to (N, 2H, 2W, Cout) by depth-to-space.
+
+    Same MACs as the unfused pair (9 taps/output either way), but the
+    (N, 2H, 2W, Cin) upsampled slab is never materialised in HBM — the
+    generator phase of the train step is HBM-bound (benchmarks/RESULTS.md
+    round 2) — and the conv's channel dim is 4x wider, which keeps the MXU
+    dense at the top stages where Cout shrinks to 16-64.
+
+    Exactness at the borders: the phase formulas implicitly extend the
+    upsampled array with its clamped continuation (value x[edge]) where the
+    true conv sees zero padding, so the four border rows/cols are corrected
+    with 1D convs of the edge lines (O(edge) work) and the four corners get
+    their doubly-removed term added back.  Fused-vs-unfused agreement is
+    float-rounding only (tested at ~1e-5 f32).
+    """
+    n, h, wdt, cin = x.shape
+    cout = w.shape[-1]
+    wf = w * scale  # fold scale in f32 before the phase algebra
+    me = jnp.asarray(_UPCONV_M_EVEN, wf.dtype)
+    mo = jnp.asarray(_UPCONV_M_ODD, wf.dtype)
+    # (pr, pc) phase kernels, stacked as channel blocks p = 2*pr + pc.
+    phases = [
+        jnp.einsum("it,js,tscd->ijcd", mr, mc, wf)
+        for mr in (me, mo)
+        for mc in (me, mo)
+    ]
+    wbig = jnp.stack(phases, axis=-2).reshape(3, 3, cin, 4 * cout)
+    wbig = _maybe_cast(wbig, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        xp,
+        wbig,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    out = (
+        out.reshape(n, h, wdt, 2, 2, cout)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, 2 * h, 2 * wdt, cout)
+    )
+
+    # --- border corrections -------------------------------------------------
+    # The conv's zero padding lives on the UPSAMPLED grid: rows/cols -1 and
+    # 2H/2W of the upsampled array must read as zero, but the phase formulas
+    # used the clamped continuation: u[-1] = up(edge-extended x)[-1] = x[0]
+    # per axis.  Subtract those contributions along each border (a 1D conv of
+    # the upsampled edge line, corner-extended), then add back the corner
+    # terms removed twice.
+    wc = _maybe_cast(wf, x.dtype)
+
+    def edge_line(line: jax.Array) -> jax.Array:
+        # line (N, L, Cin) -> clamped-extended upsampled line (N, 2L+2, Cin)
+        upl = upsample2x_axis(line, 1)
+        return jnp.concatenate([line[:, :1], upl, line[:, -1:]], axis=1)
+
+    def conv1d(line: jax.Array, taps: jax.Array) -> jax.Array:
+        # line (N, L, Cin), taps (3, Cin, Cout) -> VALID conv (N, L-2, Cout)
+        return jax.lax.conv_general_dilated(
+            line[:, None],
+            taps[None],
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )[:, 0]
+
+    c_top = conv1d(edge_line(x[:, 0]), wc[0])
+    c_bot = conv1d(edge_line(x[:, -1]), wc[2])
+    c_left = conv1d(edge_line(x[:, :, 0]), wc[:, 0])
+    c_right = conv1d(edge_line(x[:, :, -1]), wc[:, 2])
+    out = out.at[:, 0].add(-c_top)
+    out = out.at[:, -1].add(-c_bot)
+    out = out.at[:, :, 0].add(-c_left)
+    out = out.at[:, :, -1].add(-c_right)
+    # Corners: removed once by the row correction and once by the column
+    # correction — add back the single true excess.
+    corner = lambda tap, px: jnp.einsum("cd,nc->nd", tap, px)  # noqa: E731
+    out = out.at[:, 0, 0].add(corner(wc[0, 0], x[:, 0, 0]))
+    out = out.at[:, 0, -1].add(corner(wc[0, 2], x[:, 0, -1]))
+    out = out.at[:, -1, 0].add(corner(wc[2, 0], x[:, -1, 0]))
+    out = out.at[:, -1, -1].add(corner(wc[2, 2], x[:, -1, -1]))
+    return out + _maybe_cast(b, x.dtype)
 
 
 class EqualizedConv(nn.Module):
@@ -257,6 +372,9 @@ class StyleConvBlock(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    upsample_input: bool = False  # fuse the stage's 2x bilinear upsample into
+    # this conv (equalized_upsample2x_conv_apply) — the caller passes the
+    # LOW-res input and no explicit upsample runs.  Exact to float rounding.
 
     def setup(self):
         if self.is_initial:
@@ -296,6 +414,11 @@ class StyleConvBlock(nn.Module):
         else:
             x = _maybe_cast(x, self.dtype)
             w, b, scale = self.conv.scaled_params(x.shape[-1])
+            conv_shape = (
+                (x.shape[0], 2 * x.shape[1], 2 * x.shape[2], x.shape[3])
+                if self.upsample_input
+                else x.shape
+            )
             if self.use_pallas:
                 from byogan_tpu.ops.pallas_styleconv import (
                     styleconv,
@@ -304,15 +427,19 @@ class StyleConvBlock(nn.Module):
                 )
 
                 if styleconv_supported(
-                    x.shape, x.shape[-1], self.out_channels,
+                    conv_shape, conv_shape[-1], self.out_channels,
                     x.dtype.itemsize,
                 ) and styleconv_profitable(
-                    x.shape, x.shape[-1], self.out_channels
+                    conv_shape, conv_shape[-1], self.out_channels
                 ):
                     # Whole synthesis conv in one differentiable Pallas
                     # kernel (conv + noise + lrelu + AdaIN; custom_vjp with
                     # closed-form lax backward) — only on shapes where it
-                    # measures faster than XLA (styleconv_profitable).
+                    # measures faster than XLA (styleconv_profitable).  The
+                    # kernel consumes the upsampled slab, so on these shapes
+                    # the stage upsample runs explicitly.
+                    if self.upsample_input:
+                        x = upsample2x_bilinear(x)
                     return styleconv(
                         x,
                         _maybe_cast(w * scale, x.dtype),
@@ -322,7 +449,10 @@ class StyleConvBlock(nn.Module):
                         gamma,
                         beta,
                     )
-            out = equalized_conv_apply(x, w, b, scale, padding=1)
+            if self.upsample_input:
+                out = equalized_upsample2x_conv_apply(x, w, b, scale)
+            else:
+                out = equalized_conv_apply(x, w, b, scale, padding=1)
         # Epilogue: always the lax path inside the model — the epilogue-only
         # Pallas kernel wins isolated but LOSES end-to-end (the custom-call
         # boundary stops XLA fusing it into the producing conv; RESULTS.md
@@ -360,8 +490,9 @@ class StyleStage(nn.Module):
             raise ValueError("initial stage cannot upsample")
         if not self.is_initial and x is None:
             raise ValueError("non-initial stage requires an input")
-        if self.does_upsample:
-            x = upsample2x_bilinear(x)
+        # The 2x bilinear upsample (gan.py:112) is FUSED into conv1
+        # (equalized_upsample2x_conv_apply): the upsampled slab never hits
+        # HBM.  conv1 receives the low-res input and upsample_input=True.
         out = StyleConvBlock(
             in_channels=self.in_channels,
             out_channels=self.out_channels,
@@ -369,6 +500,7 @@ class StyleStage(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             use_pallas=self.use_pallas,
+            upsample_input=self.does_upsample,
             name="conv1",
         )(x, style, noise)
         return StyleConvBlock(

@@ -74,6 +74,12 @@ class TrainConfig:
     # epilogue is forward-only and measured slower than XLA fusion in the
     # training path (benchmarks/RESULTS.md); it is exposed where it can run:
     # serve.Sampler(use_pallas=...) and the sampling CLIs' --pallas flag.
+    r1_interval: int = 1  # lazy R1 regularization (opt-in; StyleGAN2 "lazy
+    # regularization"): apply the R1 penalty's double-backward only every N
+    # critic iterations, with lambda scaled by N so the effective strength
+    # is unchanged.  1 = the reference behavior (penalty every iteration,
+    # train.py:181/gan.py:398-400).  Requires use_r1=True.  Implemented as a
+    # lax.cond inside the one compiled step — no extra jit buckets.
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
@@ -128,6 +134,7 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),
         output_dir=get("output_dir", defaults.output_dir),
         ema_beta=float(get("ema_beta", defaults.ema_beta)),
+        r1_interval=int(get("r1_interval", defaults.r1_interval)),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )

@@ -80,6 +80,30 @@ def critic_r1_loss(
     return loss, aux
 
 
+def critic_logistic_loss(
+    critic_fn: Callable[[jax.Array], jax.Array],
+    real: jax.Array,
+    fake: jax.Array,
+) -> Tuple[jax.Array, dict]:
+    """Logistic critic loss WITHOUT the R1 penalty — the skip branch of lazy
+    R1 regularization (``r1_interval > 1``, an opt-in extension; the
+    reference applies the penalty every iteration, gan.py:393-412).  Aux tree
+    matches ``critic_r1_loss`` (r1_penalty = 0) so both can be ``lax.cond``
+    branches of one compiled step.
+    """
+    real_pred = critic_fn(real)
+    fake_pred = critic_fn(fake)
+    real_term = jnp.mean(softplus(-real_pred.astype(jnp.float32)))
+    fake_term = jnp.mean(softplus(fake_pred.astype(jnp.float32)))
+    loss = real_term + fake_term
+    aux = {
+        "real_pred": jnp.mean(real_pred),
+        "fake_pred": jnp.mean(fake_pred),
+        "r1_penalty": jnp.float32(0.0),
+    }
+    return loss, aux
+
+
 def critic_wgan_gp_loss(
     critic_fn: Callable[[jax.Array], jax.Array],
     real: jax.Array,

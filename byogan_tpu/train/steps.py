@@ -63,6 +63,12 @@ def make_train_step(
     critic_tx = make_critic_optimizer(config)
     use_r1 = config.use_r1
     c_lambda = config.c_lambda
+    r1_interval = config.r1_interval
+    if r1_interval > 1 and not use_r1:
+        raise ValueError(
+            "r1_interval > 1 requires use_r1=True (lazy regularization is an "
+            "R1 extension; WGAN-GP's penalty IS the loss and cannot be lazy)"
+        )
     ema_beta = config.ema_beta
     compute_dtype = jnp.dtype(config.compute_dtype)
     remat = config.remat
@@ -100,21 +106,47 @@ def make_train_step(
             fake = jax.lax.stop_gradient(fake)  # critic sees detached fakes
             # (train.py:160)
 
-            def c_loss_fn(cp):
-                crit = maybe_remat(
+            def make_crit(cp):
+                return maybe_remat(
                     lambda imgs: critic.apply(
                         {"params": cp}, imgs, steps=steps, alpha=alpha
                     )
                 )
+
+            def c_loss_fn(cp):
+                crit = make_crit(cp)
                 if use_r1:
                     return losses.critic_r1_loss(crit, real, fake, c_lambda)
                 return losses.critic_wgan_gp_loss(
                     crit, real, fake, c_lambda, eps_key
                 )
 
-            (c_loss, c_aux), c_grads = jax.value_and_grad(c_loss_fn, has_aux=True)(
-                c_params
-            )
+            if r1_interval > 1:
+                # Lazy R1 (opt-in, StyleGAN2 §lazy regularization): the
+                # penalty's double-backward runs only every r1_interval
+                # iterations, with lambda scaled by the interval so the
+                # effective regularization strength is unchanged.  Both
+                # branches live in ONE compiled step (lax.cond on the
+                # dynamic iteration counter — no extra jit buckets, no
+                # retrace); only the taken branch executes on TPU.
+                def penalized(cp):
+                    return losses.critic_r1_loss(
+                        make_crit(cp), real, fake, c_lambda * r1_interval
+                    )
+
+                def plain(cp):
+                    return losses.critic_logistic_loss(make_crit(cp), real, fake)
+
+                (c_loss, c_aux), c_grads = jax.lax.cond(
+                    state.iters % r1_interval == 0,
+                    jax.value_and_grad(penalized, has_aux=True),
+                    jax.value_and_grad(plain, has_aux=True),
+                    c_params,
+                )
+            else:
+                (c_loss, c_aux), c_grads = jax.value_and_grad(
+                    c_loss_fn, has_aux=True
+                )(c_params)
             updates, c_opt_state = critic_tx.update(c_grads, c_opt_state, c_params)
             c_params = optax.apply_updates(c_params, updates)
             im_count = im_count + batch

@@ -105,3 +105,27 @@ def test_full_size_generator_param_count():
     )["params"]
     n_crit = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(cshapes))
     assert 20_500_000 < n_crit < 22_000_000, n_crit
+
+
+def test_fused_upsample_conv_matches_unfused():
+    """equalized_upsample2x_conv_apply == upsample2x_bilinear -> conv3x3
+    to float rounding, including the border rings and corners (the phase
+    decomposition's correction terms) and non-square/odd sizes."""
+    import numpy as np
+
+    from byogan_tpu.core.resize import upsample2x_bilinear
+    from byogan_tpu.models.layers import (
+        equalized_conv_apply,
+        equalized_upsample2x_conv_apply,
+    )
+
+    rng = np.random.default_rng(0)
+    for (h, w, cin, cout) in [(4, 4, 8, 16), (5, 7, 3, 5), (2, 2, 3, 3)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        want = equalized_conv_apply(upsample2x_bilinear(x), k, b, 0.37, padding=1)
+        got = equalized_upsample2x_conv_apply(x, k, b, 0.37)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )

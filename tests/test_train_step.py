@@ -147,3 +147,51 @@ def test_donated_step_matches_undonated():
     np.testing.assert_allclose(float(m_a["g_loss"]), float(m_b["g_loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(state_a.gen_params), jax.tree.leaves(state_b.gen_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_lazy_r1_penalizes_every_nth_iteration():
+    """r1_interval=N: the penalty fires only when iters % N == 0, and the
+    penalized iteration is numerically identical to an eager step whose
+    lambda is scaled by N (the StyleGAN2 lazy-regularization contract)."""
+    n = 4
+    config = small_config(r1_interval=n)
+    gen, critic, state = build(config)
+    kwargs = dict(steps=1, batch=4, fade_in=50.0, critic_fade=(False,),
+                  gen_fade=False, donate=False)
+    step_fn = make_train_step(gen, critic, config, **kwargs)
+    real = jax.random.normal(jax.random.PRNGKey(7), (4, 4, 4, 3))
+
+    # Oracle for the first (penalized) iteration: eager R1 with lambda*N.
+    eager_cfg = small_config(c_lambda=config.c_lambda * n)
+    _, _, state_e = build(eager_cfg)  # same seed -> identical init
+    eager_fn = make_train_step(gen, critic, eager_cfg, **kwargs)
+    state_e, m_e = eager_fn(state_e, real)
+
+    penalties = []
+    for i in range(2 * n):
+        state, metrics = step_fn(state, real)
+        assert np.isfinite(metrics["c_loss"]) and np.isfinite(metrics["g_loss"])
+        penalties.append(float(metrics["r1_penalty"]))
+        if i == 0:
+            np.testing.assert_allclose(
+                float(metrics["c_loss"]), float(m_e["c_loss"]), rtol=1e-6
+            )
+            for a, b in zip(
+                jax.tree.leaves(state.critic_params),
+                jax.tree.leaves(state_e.critic_params),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                )
+    assert penalties[0] != 0.0 and penalties[n] != 0.0
+    assert all(p == 0.0 for i, p in enumerate(penalties) if i % n != 0)
+
+
+def test_lazy_r1_requires_use_r1():
+    config = small_config(use_r1=False, r1_interval=2)
+    gen, critic, state = build(config)
+    with pytest.raises(ValueError, match="r1_interval"):
+        make_train_step(
+            gen, critic, config, steps=1, batch=4, fade_in=50.0,
+            critic_fade=(False,), gen_fade=False, donate=False,
+        )
