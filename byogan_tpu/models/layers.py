@@ -141,6 +141,17 @@ _UPCONV_M_ODD = (
 )
 
 
+def upconv_profitable(low_res_h: int) -> bool:
+    """Shape gate for the fused upsample+conv (measured, v5e chip,
+    benchmarks/bench_upconv.py): the subpixel form wins 1.25-3.1x once the
+    low-res grid is >= 16 (stages 4-8 shapes, fwd AND fwd+bwd) but loses at
+    the 4/8px 512-channel stages (0.57-0.82x fwd — the 4x-wide phase conv
+    tiles poorly on a <=10x10 padded grid), so those keep the explicit
+    upsample -> conv pair.  Static per jit bucket: a plain Python branch.
+    """
+    return low_res_h >= 16
+
+
 def equalized_upsample2x_conv_apply(
     x: jax.Array, w: jax.Array, b: jax.Array, scale: float
 ) -> jax.Array:
@@ -449,9 +460,11 @@ class StyleConvBlock(nn.Module):
                         gamma,
                         beta,
                     )
-            if self.upsample_input:
+            if self.upsample_input and upconv_profitable(x.shape[1]):
                 out = equalized_upsample2x_conv_apply(x, w, b, scale)
             else:
+                if self.upsample_input:
+                    x = upsample2x_bilinear(x)
                 out = equalized_conv_apply(x, w, b, scale, padding=1)
         # Epilogue: always the lax path inside the model — the epilogue-only
         # Pallas kernel wins isolated but LOSES end-to-end (the custom-call
