@@ -48,11 +48,15 @@ def main(retried: bool = False) -> None:
     # = the headline configuration).
     # BENCH_R1_INTERVAL=N measures lazy R1 regularization (opt-in extension;
     # default 1 = the reference-faithful headline: penalty every iteration).
+    # BENCH_MIX=p measures style-mixing regularization's cost (opt-in
+    # extension; default 0 = headline: one w for all layers).
     r1_interval = int(os.environ.get("BENCH_R1_INTERVAL", 1))
+    style_mix_prob = float(os.environ.get("BENCH_MIX", 0.0))
     config = TrainConfig(
         compute_dtype=dtype,
         ema_beta=float(os.environ.get("BENCH_EMA", 0.0)),
         r1_interval=r1_interval,
+        style_mix_prob=style_mix_prob,
     )
     model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
     gen = Generator(dtype=model_dtype)
@@ -126,6 +130,11 @@ def main(retried: bool = False) -> None:
                 # Only present for opt-in lazy-R1 measurements; the headline
                 # always runs the reference-faithful r1_interval=1.
                 **({"r1_interval": r1_interval} if r1_interval != 1 else {}),
+                **(
+                    {"style_mix_prob": style_mix_prob}
+                    if style_mix_prob > 0
+                    else {}
+                ),
             }
         )
     )

@@ -245,6 +245,21 @@ def _normalize(batch_u8: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:
     return batch
 
 
+def _flip_u8(batch_u8: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:
+    """Per-sample horizontal flip on raw uint8 (the device-normalize lane).
+
+    Same flip semantics as ``_normalize`` but without the float conversion:
+    the [-1,1] mapping happens ON DEVICE inside the jitted step (train/
+    steps.py), so batches cross the host->device link as uint8 — 4x fewer
+    bytes than the float32 lane, which is the real-run iteration bound on
+    transfer-limited hosts at the big stages.
+    """
+    if flip_mask.any():
+        batch_u8 = batch_u8.copy()
+        batch_u8[flip_mask] = batch_u8[flip_mask, :, ::-1]
+    return batch_u8
+
+
 def make_stage_loader(
     dataset: StageDataset,
     batch_size: int,
@@ -259,8 +274,14 @@ def make_stage_loader(
     process_index: int = 0,
     process_count: int = 1,
     skip_batches: int = 0,
+    device_normalize: bool = False,
 ) -> Iterator[np.ndarray]:
     """Yield NHWC float32 batches in [-1,1], prefetched on a worker thread.
+
+    ``device_normalize=True`` yields flipped RAW uint8 batches instead; the
+    jitted train step maps them to [-1,1] on device (same f32 expression,
+    equal to float rounding — XLA fuses an FMA, <=1 ulp; tested).  Shuffle/
+    flip RNG draws are unchanged, so the two lanes see the same data order.
 
     ``epochs=None`` streams forever.  One epoch = one shuffled pass
     (train.py:112-117 semantics, minus the ragged tail under
@@ -314,7 +335,11 @@ def make_stage_loader(
                     idx = idx[lo_row : lo_row + local_rows]
                     flips = flips[lo_row : lo_row + local_rows]
                     batch_u8 = dataset.get_batch_uint8(idx, workers=workers)
-                    q.put(_normalize(batch_u8, flips))
+                    q.put(
+                        _flip_u8(batch_u8, flips)
+                        if device_normalize
+                        else _normalize(batch_u8, flips)
+                    )
                 epoch += 1
         except BaseException as e:  # surface IO errors to the consumer —
             # a swallowed decode failure would silently truncate the epoch

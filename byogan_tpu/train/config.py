@@ -80,6 +80,15 @@ class TrainConfig:
     # is unchanged.  1 = the reference behavior (penalty every iteration,
     # train.py:181/gan.py:398-400).  Requires use_r1=True.  Implemented as a
     # lax.cond inside the one compiled step — no extra jit buckets.
+    style_mix_prob: float = 0.0  # style-mixing regularization (opt-in;
+    # StyleGAN §3.1 "mixing regularization"): with this probability per
+    # sample, training forwards draw a SECOND latent and cross over to its
+    # w at a uniform-random stage boundary (stage granularity — the
+    # reference's StyleGanBlock shares one style across its two convs,
+    # gan.py:125-127).  0 = the reference behavior (one w for all layers,
+    # gan.py:185).  Applies to generator forwards in BOTH the critic and
+    # generator phases; eval/sampling are untouched.  No effect at stage 1
+    # (no crossover point exists below two stages).
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
@@ -135,6 +144,7 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         output_dir=get("output_dir", defaults.output_dir),
         ema_beta=float(get("ema_beta", defaults.ema_beta)),
         r1_interval=int(get("r1_interval", defaults.r1_interval)),
+        style_mix_prob=float(get("style_mix_prob", defaults.style_mix_prob)),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )

@@ -311,6 +311,12 @@ def _train(
                     if resume_mid_stage and epoch == resume_epoch
                     else 0
                 ),
+                # uint8 transport: batches cross the host->device link raw
+                # and normalize inside the jitted step (equal to the f32
+                # lane to float rounding, tested) — 4x fewer bytes over the
+                # link, the transfer share of real-run iteration cost at
+                # the big stages.
+                device_normalize=True,
             )
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec

@@ -35,6 +35,28 @@ from byogan_tpu.train.state import (
 )
 
 
+def mixed_styles(
+    key: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    steps: int,
+    mix_prob: float,
+) -> list:
+    """Per-sample style-mixing crossover (StyleGAN §3.1, stage granularity).
+
+    For each sample: with probability ``mix_prob`` draw a crossover stage
+    ``t`` uniform in [1, steps) and use ``w2`` from stage ``t`` on; otherwise
+    use ``w1`` everywhere (t = steps).  Stage 0 always uses ``w1``.  Returns
+    ``steps`` per-stage (B, style_dim) arrays for ``Generator(style=...)``.
+    """
+    b = w1.shape[0]
+    coin_key, t_key = jax.random.split(key)
+    coin = jax.random.uniform(coin_key, (b,))
+    t = jax.random.randint(t_key, (b,), 1, steps)
+    t = jnp.where(coin < mix_prob, t, steps)
+    return [jnp.where((i >= t)[:, None], w2, w1) for i in range(steps)]
+
+
 def make_train_step(
     gen: Generator,
     critic: Critic,
@@ -72,6 +94,28 @@ def make_train_step(
     ema_beta = config.ema_beta
     compute_dtype = jnp.dtype(config.compute_dtype)
     remat = config.remat
+    mix_prob = config.style_mix_prob
+    # Style-mixing regularization (opt-in extension, PARITY.md): static per
+    # bucket, so mix_prob == 0 (the default) emits the pre-existing
+    # reference-faithful program UNTOUCHED (bit-identical trajectories).
+    # Stage 1 has no crossover point — the plain path runs there even when
+    # mixing is enabled.
+    do_mix = mix_prob > 0.0 and steps >= 2
+
+    def synthesize_mixed(gp, z_key, noise, alpha):
+        z1_key, z2_key, mix_key = jax.random.split(z_key, 3)
+        z1 = truncated_noise(
+            z1_key, batch, config.noise_size, config.noise_trunc, compute_dtype
+        )
+        z2 = truncated_noise(
+            z2_key, batch, config.noise_size, config.noise_trunc, compute_dtype
+        )
+        w1 = gen.apply({"params": gp}, z1, method="map_latent")
+        w2 = gen.apply({"params": gp}, z2, method="map_latent")
+        styles = mixed_styles(mix_key, w1, w2, steps, mix_prob)
+        return gen.apply(
+            {"params": gp}, None, noise, steps=steps, alpha=alpha, style=styles
+        )
 
     def maybe_remat(fn):
         # jax.checkpoint the whole-network apply: the backward (including the
@@ -89,6 +133,14 @@ def make_train_step(
         im_count = state.im_count
         c_params = state.critic_params
         c_opt_state = state.critic_opt_state
+        if real.dtype == jnp.uint8:
+            # uint8 transport lane (data/pipeline.py device_normalize):
+            # batches cross the host->device link raw (4x fewer bytes than
+            # f32) and map to [-1,1] here — the same f32 expression the host
+            # lane uses (pipeline._normalize), equal to float rounding (XLA
+            # fuses it into an FMA: <=1 ulp vs numpy's two-op rounding) and
+            # fused into the first conv's input cast.
+            real = real.astype(jnp.float32) * (2.0 / 255.0) - 1.0
         real = real.astype(compute_dtype)
 
         c_loss = jnp.float32(0)
@@ -96,13 +148,18 @@ def make_train_step(
         for r, fade in enumerate(critic_fade):
             rng, z_key, noise_key, eps_key = jax.random.split(rng, 4)
             alpha = alpha_of(im_count) if fade else None
-            z = truncated_noise(
-                z_key, batch, config.noise_size, config.noise_trunc, compute_dtype
-            )
             noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
-            fake = gen.apply(
-                {"params": state.gen_params}, z, noise, steps=steps, alpha=alpha
-            )
+            if do_mix:
+                fake = synthesize_mixed(state.gen_params, z_key, noise, alpha)
+            else:
+                z = truncated_noise(
+                    z_key, batch, config.noise_size, config.noise_trunc,
+                    compute_dtype,
+                )
+                fake = gen.apply(
+                    {"params": state.gen_params}, z, noise, steps=steps,
+                    alpha=alpha,
+                )
             fake = jax.lax.stop_gradient(fake)  # critic sees detached fakes
             # (train.py:160)
 
@@ -155,17 +212,27 @@ def make_train_step(
         # after the critic repeats advanced im_count (train.py:198-201).
         rng, z_key, noise_key = jax.random.split(rng, 3)
         alpha_g = alpha_of(im_count) if gen_fade else None
-        z = truncated_noise(
-            z_key, batch, config.noise_size, config.noise_trunc, compute_dtype
+        z = (
+            None
+            if do_mix
+            else truncated_noise(
+                z_key, batch, config.noise_size, config.noise_trunc,
+                compute_dtype,
+            )
         )
         noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
 
         def g_loss_fn(gp):
-            fake = maybe_remat(
-                lambda z_: gen.apply(
-                    {"params": gp}, z_, noise, steps=steps, alpha=alpha_g
-                )
-            )(z)
+            if do_mix:
+                fake = maybe_remat(
+                    lambda k: synthesize_mixed(gp, k, noise, alpha_g)
+                )(z_key)
+            else:
+                fake = maybe_remat(
+                    lambda z_: gen.apply(
+                        {"params": gp}, z_, noise, steps=steps, alpha=alpha_g
+                    )
+                )(z)
             pred = maybe_remat(
                 lambda imgs: critic.apply(
                     {"params": c_params}, imgs, steps=steps, alpha=alpha_g

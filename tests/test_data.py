@@ -191,3 +191,18 @@ def test_packed_stage_matches_decoded(prepared, tmp_path):
         os.remove(f)
     ds2 = StageDataset(root, 2)
     np.testing.assert_array_equal(ds2.get_batch_uint8(idx), want)
+
+
+def test_device_normalize_lane_matches_f32_lane(prepared):
+    """The uint8 transport lane (device_normalize=True) carries the same
+    data: same shuffle/flip RNG stream, and host-normalizing its uint8
+    output reproduces the f32 lane bit-exactly."""
+    ds = StageDataset(prepared, 2)
+    kw = dict(batch_size=4, seed=11, epochs=1)
+    f32 = list(make_stage_loader(ds, **kw))
+    u8 = list(make_stage_loader(ds, device_normalize=True, **kw))
+    assert len(f32) == len(u8)
+    for a, b in zip(f32, u8):
+        assert b.dtype == np.uint8 and a.dtype == np.float32
+        want = b.astype(np.float32) * (2.0 / 255.0) - 1.0
+        assert (a == want).all()

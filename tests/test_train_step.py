@@ -195,3 +195,109 @@ def test_lazy_r1_requires_use_r1():
             gen, critic, config, steps=1, batch=4, fade_in=50.0,
             critic_fade=(False,), gen_fade=False, donate=False,
         )
+
+
+def test_mixed_styles_crossover_structure():
+    """mixed_styles: stage 0 is always w1; each mixed sample switches to w2
+    at one stage boundary t in [1, steps) and stays there; mix_prob=0 is
+    all-w1."""
+    from byogan_tpu.train.steps import mixed_styles
+
+    steps, b, d = 5, 64, 8
+    w1 = jnp.zeros((b, d))
+    w2 = jnp.ones((b, d))
+    styles = mixed_styles(jax.random.PRNGKey(3), w1, w2, steps, 1.0)
+    assert len(styles) == steps
+    mat = np.stack([np.asarray(s)[:, 0] for s in styles], axis=1)  # (B, steps)
+    assert (mat[:, 0] == 0).all()  # stage 0 always w1
+    # monotone 0 -> 1 per sample (one crossover, never back)
+    assert (np.diff(mat, axis=1) >= 0).all()
+    t = mat.argmax(axis=1)  # first stage using w2 (0 if never)
+    mixed = mat[:, -1] == 1
+    assert mixed.all()  # mix_prob=1: every sample crosses over by the end
+    assert ((t >= 1) & (t < steps)).all()
+    assert len(np.unique(t)) > 1  # crossover point varies across the batch
+
+    plain = mixed_styles(jax.random.PRNGKey(3), w1, w2, steps, 0.0)
+    assert all((np.asarray(s) == 0).all() for s in plain)
+
+
+def test_style_mixing_step_trains_and_moves_mapping():
+    """style_mix_prob=1 runs the mixed synthesis path in both phases: losses
+    finite and the mapping net still receives gradients (it is exercised
+    only through map_latent in the mixed program)."""
+    config = small_config(style_mix_prob=1.0)
+    gen, critic, state = build(config)
+    step_fn = make_train_step(
+        gen, critic, config, steps=2, batch=4, fade_in=100.0,
+        critic_fade=(False,), gen_fade=False, donate=False,
+    )
+    real = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 8, 3))
+    m0 = jax.tree.map(
+        lambda x: np.asarray(x).copy(), state.gen_params["mapping"]
+    )
+    for _ in range(2):
+        state, metrics = step_fn(state, real)
+    assert np.isfinite(metrics["c_loss"]) and np.isfinite(metrics["g_loss"])
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.gen_params["mapping"], m0,
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_style_mixing_noop_at_stage1_matches_plain():
+    """Stage 1 has no crossover point: with mixing enabled the emitted
+    program is the untouched plain path — trajectories are bit-identical."""
+    config_mix = small_config(style_mix_prob=1.0)
+    config_plain = small_config()
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 4, 3))
+    results = []
+    for config in (config_mix, config_plain):
+        gen, critic, state = build(config)
+        step_fn = make_train_step(
+            gen, critic, config, steps=1, batch=4, fade_in=50.0,
+            critic_fade=(False,), gen_fade=False, donate=False,
+        )
+        state, metrics = step_fn(state, real)
+        results.append((state, metrics))
+    (s_a, m_a), (s_b, m_b) = results
+    assert float(m_a["c_loss"]) == float(m_b["c_loss"])
+    assert float(m_a["g_loss"]) == float(m_b["g_loss"])
+    for a, b in zip(jax.tree.leaves(s_a.gen_params), jax.tree.leaves(s_b.gen_params)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_uint8_transport_lane_matches_f32():
+    """Feeding the step raw uint8 (device-side normalize) reproduces the f32
+    host-normalized step to float rounding (XLA fuses the normalize into an
+    FMA — a <=1-ulp input difference vs numpy's two-op rounding; measured
+    c_loss delta ~1e-7 relative)."""
+    config = small_config()
+    real_u8 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(4), (4, 8, 8, 3), 0, 256),
+        np.uint8,
+    )
+    real_f32 = real_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
+    results = []
+    for real in (jnp.asarray(real_u8), jnp.asarray(real_f32)):
+        gen, critic, state = build(config)
+        step_fn = make_train_step(
+            gen, critic, config, steps=2, batch=4, fade_in=100.0,
+            critic_fade=(True,), gen_fade=True, donate=False,
+        )
+        state, metrics = step_fn(state, real)
+        results.append((state, metrics))
+    (s_a, m_a), (s_b, m_b) = results
+    np.testing.assert_allclose(
+        float(m_a["c_loss"]), float(m_b["c_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_a["g_loss"]), float(m_b["g_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_a.critic_params), jax.tree.leaves(s_b.critic_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
