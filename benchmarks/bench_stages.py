@@ -19,8 +19,10 @@ from byogan_tpu.train.state import create_train_state
 from byogan_tpu.train.steps import make_train_step
 
 # (batch, remat) points per stage; first entry = best measured config
-# (RESULTS.md round-2 roofline table).  Stage 7's batch 64 is +9% over 32;
-# stage 8 is HBM-bound at any batch and remat always costs 25-30%.
+# (RESULTS.md round-3 refresh).  With the conv fusions shrinking live
+# activations, stage 7's best moved to batch 128 WITH remat (263.5 img/s,
+# +86% over r2's batch-64 no-remat); stage 8 stays batch 8 no-remat,
+# HBM-bound at ~86% of peak.
 SWEEP = {
     1: [(512, False)],
     2: [(512, False)],
@@ -28,7 +30,7 @@ SWEEP = {
     4: [(256, False)],
     5: [(128, False)],
     6: [(128, False)],
-    7: [(64, False), (32, False), (64, True), (128, True)],
+    7: [(128, True), (64, False), (32, False), (64, True)],
     8: [(8, False), (16, False), (16, True), (32, True)],
 }
 
