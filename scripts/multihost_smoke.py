@@ -97,6 +97,9 @@ def _run_training_steps(process_id: int, process_count: int, data_root: str):
         process_index=process_id,
         process_count=process_count,
         epochs=None,
+        # Production transport (train/loop.py): raw uint8 slices assemble
+        # into the global array; the step normalizes on device.
+        device_normalize=True,
     )
     sharding = NamedSharding(mesh, P("data", None, None, None))
     loader = device_prefetch(
@@ -114,6 +117,7 @@ def _run_training_steps(process_id: int, process_count: int, data_root: str):
         if i >= N_STEPS:
             break
         assert real.shape == (batch, 8, 8, 3), real.shape
+        assert real.dtype == jnp.uint8, real.dtype  # u8 crossed assembly
         if process_count > 1:
             # The make_array_from_process_local_data branch really ran: the
             # assembled global batch spans devices this process cannot see.

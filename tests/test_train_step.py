@@ -301,3 +301,23 @@ def test_uint8_transport_lane_matches_f32():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_lazy_r1_composes_with_style_mixing():
+    """Both step extensions in ONE compiled program: the lax.cond'd lazy R1
+    branches around the mixed synthesis; finite losses, penalty fires on the
+    scheduled iteration only."""
+    config = small_config(r1_interval=2, style_mix_prob=1.0)
+    gen, critic, state = build(config)
+    step_fn = make_train_step(
+        gen, critic, config, steps=2, batch=4, fade_in=100.0,
+        critic_fade=(False,), gen_fade=False, donate=False,
+    )
+    real = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 8, 3))
+    penalties = []
+    for _ in range(4):
+        state, metrics = step_fn(state, real)
+        assert np.isfinite(metrics["c_loss"]) and np.isfinite(metrics["g_loss"])
+        penalties.append(float(metrics["r1_penalty"]))
+    assert penalties[0] != 0.0 and penalties[2] != 0.0
+    assert penalties[1] == 0.0 and penalties[3] == 0.0
