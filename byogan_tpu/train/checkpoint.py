@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -125,6 +126,35 @@ def latest_checkpoint(directory: str) -> Optional[str]:
         except (OSError, KeyError, ValueError):
             pass  # partial/foreign FINAL dir: fall back to periodic
     return best
+
+
+def prune_checkpoints(directory: str, keep: int) -> list:
+    """Remove the oldest periodic ``chk-{iters}`` dirs beyond ``keep``.
+
+    Opt-in rotation (config.max_checkpoints) for long runs: a full-depth
+    checkpoint is ~1.5GB, and the reference's keep-everything behavior
+    (train.py:247-259) fills a disk in a few hours of 512px training.
+    ``FINAL`` and aborted partial saves (no meta) are never touched; the
+    newest ``keep`` periodic checkpoints survive.  Returns removed paths.
+    """
+    if keep <= 0 or not os.path.isdir(directory):
+        return []
+    periodic = []
+    for entry in os.listdir(directory):
+        m = re.fullmatch(r"chk-(\d+)", entry)
+        full = os.path.join(directory, entry)
+        if (
+            m
+            and os.path.isdir(full)
+            and os.path.exists(os.path.join(full, _META_NAME))
+        ):
+            periodic.append((int(m.group(1)), full))
+    periodic.sort()
+    removed = []
+    for _, path in periodic[: max(0, len(periodic) - keep)]:
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
 
 
 def _is_torch_checkpoint(path: str) -> bool:

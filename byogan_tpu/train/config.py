@@ -80,6 +80,10 @@ class TrainConfig:
     # is unchanged.  1 = the reference behavior (penalty every iteration,
     # train.py:181/gan.py:398-400).  Requires use_r1=True.  Implemented as a
     # lax.cond inside the one compiled step — no extra jit buckets.
+    max_checkpoints: int = 0  # checkpoint rotation (opt-in; 0 = keep every
+    # periodic checkpoint, the reference behavior train.py:247-259).  N > 0
+    # keeps only the newest N periodic chk-* dirs after each save (a
+    # full-depth checkpoint is ~1.5GB); FINAL is never pruned.
     style_mix_prob: float = 0.0  # style-mixing regularization (opt-in;
     # StyleGAN §3.1 "mixing regularization"): with this probability per
     # sample, training forwards draw a SECOND latent and cross over to its
@@ -145,6 +149,7 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         ema_beta=float(get("ema_beta", defaults.ema_beta)),
         r1_interval=int(get("r1_interval", defaults.r1_interval)),
         style_mix_prob=float(get("style_mix_prob", defaults.style_mix_prob)),
+        max_checkpoints=int(get("max_checkpoints", defaults.max_checkpoints)),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )

@@ -45,6 +45,7 @@ from byogan_tpu.data.pipeline import (
 from byogan_tpu.models import Critic, Generator
 from byogan_tpu.train.checkpoint import (
     checkpoint_name,
+    prune_checkpoints,
     restore_train_state,
     save_checkpoint,
 )
@@ -396,6 +397,13 @@ def _train(
                         config.checkpoint_dir, state.replace(epoch=epoch),
                         alpha_for_ckpt, model_spec=spec,
                     )
+                    if config.max_checkpoints > 0:
+                        # Opt-in rotation: prune AFTER the new save landed,
+                        # so a crash mid-save never leaves fewer than
+                        # max_checkpoints resumable periodic checkpoints.
+                        prune_checkpoints(
+                            config.checkpoint_dir, config.max_checkpoints
+                        )
                 if stop_requested or (
                     max_iters is not None and total_iters >= max_iters
                 ):

@@ -117,3 +117,54 @@ def test_missing_checkpoint_paths_raise_clearly(tmp_path):
     (tmp_path / "random_dir").mkdir()
     with pytest.raises(FileNotFoundError, match="not a byogan_tpu checkpoint"):
         load_checkpoint(str(tmp_path / "random_dir"))
+
+
+def test_prune_checkpoints_keeps_newest_and_final(tmp_path):
+    """Rotation removes only the OLDEST periodic chk-* dirs: the newest
+    `keep`, FINAL, and partial (meta-less) dirs all survive."""
+    from byogan_tpu.train.checkpoint import prune_checkpoints
+
+    config = small_config()
+    gen, critic, state = build(config)
+    for it in (10, 20, 30, 40):
+        save_checkpoint(str(tmp_path), state.replace(iters=jnp.int32(it)), None)
+    save_checkpoint(
+        str(tmp_path), state.replace(iters=jnp.int32(40)), None, name="FINAL"
+    )
+    os.makedirs(tmp_path / "chk-5")  # aborted save: no meta -> untouched
+    removed = prune_checkpoints(str(tmp_path), keep=2)
+    assert sorted(os.path.basename(p) for p in removed) == ["chk-10", "chk-20"]
+    left = sorted(e for e in os.listdir(tmp_path) if e != "chk-5")
+    assert left == ["FINAL", "chk-30", "chk-40"]
+    assert (tmp_path / "chk-5").exists()
+    # keep=0 (the default, reference behavior) is a no-op
+    assert prune_checkpoints(str(tmp_path), keep=0) == []
+    # resumable: the survivor loads
+    assert load_checkpoint(str(tmp_path / "chk-40"))["iter"] == 40
+
+
+def test_train_loop_rotates_checkpoints(tmp_path):
+    """max_checkpoints=1 in the real loop: at most one periodic checkpoint
+    on disk at the end, plus FINAL."""
+    from byogan_tpu.data.prep import prepare_pyramid
+    from byogan_tpu.data.synthetic import write_synthetic_dataset
+    from byogan_tpu.train.loop import train
+
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_images=8, size=8, seed=0)
+    prepare_pyramid(data, 4, 8)
+    config = small_config(
+        data=data,
+        batch_progression=(4, 4),
+        epoch_progression=(2, 2),
+        checkpoint_step=2,
+        display_step=100,
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+        max_checkpoints=1,
+    )
+    train(config)
+    entries = sorted(os.listdir(tmp_path / "ck"))
+    periodic = [e for e in entries if e.startswith("chk-")]
+    assert len(periodic) == 1, entries
+    assert "FINAL" in entries
