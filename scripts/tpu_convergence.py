@@ -113,6 +113,11 @@ def main() -> None:
         eval_images=64,
         checkpoint_dir=os.path.join(out_root, "checkpoints"),
         output_dir=os.path.join(out_root, "output"),
+        # Opt-in training extensions, default-off here like in production:
+        # BYOGAN_CONV_R1_INTERVAL=16 BYOGAN_CONV_MIX=0.9 reruns this proof
+        # with the full StyleGAN2 recipe (benchmarks/convergence_recipe/).
+        r1_interval=int(os.environ.get("BYOGAN_CONV_R1_INTERVAL", 1)),
+        style_mix_prob=float(os.environ.get("BYOGAN_CONV_MIX", 0.0)),
     )
 
     t0 = time.time()
