@@ -321,3 +321,34 @@ def test_lazy_r1_composes_with_style_mixing():
         penalties.append(float(metrics["r1_penalty"]))
     assert penalties[0] != 0.0 and penalties[2] != 0.0
     assert penalties[1] == 0.0 and penalties[3] == 0.0
+
+
+@pytest.mark.parametrize("mix", [0.0, 1.0])
+def test_remat_matches_no_remat(mix):
+    """jax.checkpoint is semantics-preserving: the remat step equals the
+    plain step (same seed, same batch) — with and without style mixing
+    closed over the rematerialized apply."""
+    real = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, 3))
+    results = []
+    for remat in (False, True):
+        config = small_config(remat=remat, style_mix_prob=mix)
+        gen, critic, state = build(config)
+        step_fn = make_train_step(
+            gen, critic, config, steps=2, batch=4, fade_in=100.0,
+            critic_fade=(True,), gen_fade=True, donate=False,
+        )
+        state, metrics = step_fn(state, real)
+        results.append((state, metrics))
+    (s_a, m_a), (s_b, m_b) = results
+    np.testing.assert_allclose(
+        float(m_a["c_loss"]), float(m_b["c_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_a["g_loss"]), float(m_b["g_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_a.gen_params), jax.tree.leaves(s_b.gen_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
