@@ -54,6 +54,12 @@ class TrainConfig:
     remat: bool = False  # jax.checkpoint the network applies inside the step:
     # trades ~1/3 more FLOPs for much smaller live activation memory, which
     # buys bigger batches at the 256/512px stages (benchmarks/RESULTS.md)
+    remat_progression: Optional[Tuple[bool, ...]] = None  # per-stage remat
+    # override (one flag per stage, like batch_progression); None = the
+    # global `remat` everywhere.  Measured: stage 7 is fastest at batch 128
+    # WITH remat (263.5 img/s, +35% over its best no-remat batch) while
+    # remat costs 25-30% at every other stage (RESULTS.md round-3 table) —
+    # this key lets a schedule buy stage 7's win without paying elsewhere.
     data_axis: int = 1  # data-parallel mesh size (1 = single chip)
     model_axis: int = 1  # tensor-parallel mesh size
     checkpoint_dir: str = "./checkpoints"
@@ -104,6 +110,17 @@ class TrainConfig:
     def stage_batch(self, stage_index: int) -> int:
         return self.batch_progression[stage_index]
 
+    def stage_remat(self, stage_index: int) -> bool:
+        """Per-stage remat flag (remat_progression overrides global remat)."""
+        if self.remat_progression is None:
+            return self.remat
+        if len(self.remat_progression) != self.num_stages:
+            raise ValueError(
+                f"remat_progression has {len(self.remat_progression)} flags "
+                f"for {self.num_stages} stages"
+            )
+        return self.remat_progression[stage_index]
+
     def stage_epochs(self, stage_index: int) -> int:
         return self.epoch_progression[stage_index]
 
@@ -142,6 +159,11 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         seed=int(get("seed", defaults.seed)),
         compute_dtype=get("compute_dtype", defaults.compute_dtype),
         remat=str(get("remat", "False")) == "True",
+        remat_progression=(
+            tuple(v.strip() == "True" for v in get("remat_progression").split(","))
+            if get("remat_progression")
+            else None
+        ),
         data_axis=int(get("data_axis", defaults.data_axis)),
         model_axis=int(get("model_axis", defaults.model_axis)),
         checkpoint_dir=get("checkpoint_dir", defaults.checkpoint_dir),

@@ -93,7 +93,7 @@ def make_train_step(
         )
     ema_beta = config.ema_beta
     compute_dtype = jnp.dtype(config.compute_dtype)
-    remat = config.remat
+    remat = config.stage_remat(steps - 1)  # per-stage override, config.py
     mix_prob = config.style_mix_prob
     # Style-mixing regularization (opt-in extension, PARITY.md): static per
     # bucket, so mix_prob == 0 (the default) emits the pre-existing
