@@ -1,3 +1,4 @@
+"""Config surface tests: INI progression parsing and per-stage lookups."""
 
 
 def test_remat_progression_parse_and_stage_lookup():
