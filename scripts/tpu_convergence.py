@@ -4,12 +4,8 @@ Runs a REAL 4-stage progressive schedule (4px -> 32px, ~1.9k iterations) on a
 256-image synthetic corpus (smooth gradients + circles — a learnable
 distribution), through the exact production path: prep pyramid on disk ->
 cli-equivalent train() -> periodic checkpoints + sample grids.  Then verifies
-the run actually LEARNED, not just executed:
-
-  * every metrics.jsonl record is finite;
-  * generated samples match the data distribution's channel means far better
-    than a fresh-init generator does (quantitative convergence signal);
-  * samples are not mode-collapsed to a constant (per-image spatial std).
+the run actually LEARNED, not just executed (convergence_common.py: finite
+metrics, channel-stat convergence vs fresh init, no mode collapse).
 
 Artifacts land in benchmarks/convergence/: metrics.jsonl (loss trajectory),
 output/s-*.png sample grids, and summary.json — committed as the round-2
@@ -17,56 +13,27 @@ evidence that the TPU path trains (reference README.md:68-80 only ever showed
 qualitative grids; it was never run to completion, README.md:70).
 
 Usage:  python scripts/tpu_convergence.py [out_root]
+Env:    BYOGAN_CONV_VERIFY_ONLY=1 re-verifies an existing finished run.
+        BYOGAN_CONV_R1_INTERVAL=16 BYOGAN_CONV_MIX=0.9 rerun the proof with
+        the full StyleGAN2 recipe (benchmarks/convergence_recipe/).
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import sys
-import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def channel_stats(imgs):
-    """Per-channel mean and mean per-image spatial std of NHWC [0,1] floats."""
-    import numpy as np
+from convergence_common import (  # noqa: E402,F401  (re-exported for callers)
+    channel_stats,
+    generated_stats,
+    prepare_data,
+    resolve_run_state,
+    run_and_verify,
+)
 
-    means = imgs.mean(axis=(0, 1, 2))
-    spatial_std = imgs.std(axis=(1, 2)).mean()
-    return means, float(spatial_std)
-
-
-def generated_stats(checkpoint: str, n: int = 64):
-    """Channel stats of n generated samples mapped to [0,1].
-
-    The generator models the training distribution in [-1,1] (pipeline
-    normalization), so outputs are mapped (x+1)/2 before comparing with the
-    [0,1] real pixels — the Sampler's raw-save uint8 path would crush the
-    negative half to black (reference save parity) and bias the stats.
-    """
-    import jax
-    import numpy as np
-
-    from byogan_tpu.core.random import synthesis_noise, truncated_noise
-    from byogan_tpu.models.factory import (
-        ModelSpec,
-        build_generator,
-        z_dim_from_params,
-    )
-    from byogan_tpu.train.checkpoint import load_checkpoint
-
-    save = load_checkpoint(checkpoint)
-    gen = build_generator(ModelSpec.from_dict(save.get("model")))
-    kz, kn = jax.random.split(jax.random.PRNGKey(123))
-    z = truncated_noise(kz, n, z_dim_from_params(save["gen_params"]), 0.75)
-    noise = synthesis_noise(kn, n, save["step"])
-    x = gen.apply(
-        {"params": save["gen_params"]}, z, noise, steps=save["step"],
-        alpha=None,
-    )
-    x01 = np.clip((np.asarray(x, np.float32) + 1.0) / 2.0, 0.0, 1.0)
-    return channel_stats(x01)
+N_STAGES = 4
 
 
 def main() -> None:
@@ -77,25 +44,10 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    import numpy as np
-
-    from byogan_tpu.data.pipeline import StageDataset
-    from byogan_tpu.data.prep import prepare_pyramid
-    from byogan_tpu.data.synthetic import write_synthetic_dataset
     from byogan_tpu.train.config import TrainConfig
-    from byogan_tpu.train.loop import train
 
-    data = os.path.join(out_root, "data")
-    if not os.path.isdir(os.path.join(data, "prepared")):
-        write_synthetic_dataset(data, n_images=256, size=32, seed=3)
-        prepare_pyramid(data, 4, 32)
-    # Re-verify an existing completed run without retraining.
-    verify_only = os.environ.get("BYOGAN_CONV_VERIFY_ONLY") == "1" and (
-        os.path.isdir(os.path.join(out_root, "checkpoints", "FINAL"))
-    )
-    if not verify_only:
-        for stale in ("checkpoints", "output"):
-            shutil.rmtree(os.path.join(out_root, stale), ignore_errors=True)
+    data = prepare_data(out_root, n_images=256, size=32, seed=3)
+    verify_only, _ = resolve_run_state(out_root, allow_resume=False)
 
     config = TrainConfig(
         data=data,
@@ -119,103 +71,12 @@ def main() -> None:
         r1_interval=int(os.environ.get("BYOGAN_CONV_R1_INTERVAL", 1)),
         style_mix_prob=float(os.environ.get("BYOGAN_CONV_MIX", 0.0)),
     )
-
-    t0 = time.time()
-    if not verify_only:
-        train(config)
-        wall = time.time() - t0
-    else:  # keep the original training wall time from the existing summary
-        try:
-            with open(os.path.join(out_root, "summary.json")) as f:
-                wall = json.load(f)["wall_seconds"]
-        except (OSError, KeyError, ValueError):
-            wall = 0.0
-
-    # ---- verify the run learned ----
-    from byogan_tpu.train.metrics import read_metrics
-
-    metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
-    all_records = read_metrics(metrics_path)
-    metrics = [r for r in all_records if "c_loss" in r]
-    evals = [r for r in all_records if r.get("kind") == "eval"]
-    assert metrics, "no metrics logged"
-    assert evals, "eval_step was set but no eval records were logged"
-    for rec in metrics:
-        assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec
-    for rec in evals:
-        assert np.isfinite(rec["swd"]) and np.isfinite(rec["swd_ema"]), rec
-
-    ds = StageDataset(data, 4)
-    real = (
-        ds.get_batch_uint8(np.arange(64)).astype(np.float32) / 255.0
+    run_and_verify(
+        out_root, config, N_STAGES,
+        verify_only=verify_only,
+        plot_title="tpu_convergence (4px->32px, one v5e chip)",
+        pass_message="CONVERGENCE RUN PASSED",
     )
-    real_means, real_sstd = channel_stats(real)
-
-    final = os.path.join(config.checkpoint_dir, "FINAL")
-    trained_means, trained_sstd = generated_stats(final)
-
-    # Fresh-init baseline: export an untrained checkpoint through the same
-    # path so the comparison is apples-to-apples.
-    from byogan_tpu.models.factory import build_critic, build_generator
-    from byogan_tpu.train.checkpoint import save_checkpoint
-    from byogan_tpu.train.loop import model_spec
-    from byogan_tpu.train.state import create_train_state
-
-    spec = model_spec(config)
-    fresh_state = create_train_state(
-        config, build_generator(spec), build_critic(spec)
-    ).replace(stage=4)
-    fresh_dir = save_checkpoint(
-        os.path.join(out_root, "fresh"), fresh_state, None, name="INIT",
-        model_spec=spec,
-    )
-    fresh_means, fresh_sstd = generated_stats(fresh_dir)
-
-    trained_err = float(np.abs(trained_means - real_means).mean())
-    fresh_err = float(np.abs(fresh_means - real_means).mean())
-
-    summary = {
-        "iters": metrics[-1]["iter"],
-        "wall_seconds": round(wall, 1),
-        "final_stage": metrics[-1]["stage"],
-        "c_loss_last": metrics[-1]["c_loss"],
-        "g_loss_last": metrics[-1]["g_loss"],
-        "real_channel_means": [round(float(v), 4) for v in real_means],
-        "trained_channel_means": [round(float(v), 4) for v in trained_means],
-        "fresh_channel_means": [round(float(v), 4) for v in fresh_means],
-        "trained_channel_mean_err": round(trained_err, 4),
-        "fresh_channel_mean_err": round(fresh_err, 4),
-        "real_spatial_std": round(real_sstd, 4),
-        "trained_spatial_std": round(trained_sstd, 4),
-        "fresh_spatial_std": round(fresh_sstd, 4),
-        "swd_trajectory": evals,
-    }
-    with open(os.path.join(out_root, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    print(json.dumps(summary))
-
-    # Curves artifact: losses + SWD trajectory in one PNG (byogan-plot).
-    try:
-        from byogan_tpu.cli.plot import main as plot_main
-
-        plot_main([
-            metrics_path, "-o", os.path.join(out_root, "curves.png"),
-            "--title", "tpu_convergence (4px->32px, one v5e chip)",
-        ])
-    except (Exception, SystemExit) as e:  # plotting must never fail the
-        # proof (plot_main exits via SystemExit on a missing file, which
-        # plain `except Exception` would NOT catch)
-        print(f"curves.png skipped: {e}")
-
-    assert trained_err < fresh_err, (
-        f"training did not move generated stats toward the data: "
-        f"trained_err={trained_err} vs fresh_err={fresh_err}"
-    )
-    assert trained_sstd > 0.03, (
-        f"mode collapse to near-constant images (spatial std {trained_sstd})"
-    )
-    shutil.rmtree(os.path.join(out_root, "fresh"), ignore_errors=True)
-    print("CONVERGENCE RUN PASSED")
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ repaired torch transcription (tests/test_losses.py:26-82) and stepped once in
 tests/test_train_step.py.  This script backs that claim with an actual RUN:
 a 2-stage progressive schedule (4px -> 8px, several hundred iterations) with
 ``use_r1=False`` through the production ``train()`` loop, then the same
-learning-signal verification as scripts/tpu_convergence.py:
+learning-signal verification as the other proofs (convergence_common.py):
 
   * every loss record finite (Wasserstein estimates swing negative by
     design — finiteness, not sign, is the health check);
@@ -26,11 +26,18 @@ Usage:  python scripts/wgan_gp_convergence.py [out_root]
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from convergence_common import (  # noqa: E402
+    prepare_data,
+    resolve_run_state,
+    run_and_verify,
+)
+
+N_STAGES = 2
 
 
 def main() -> None:
@@ -43,22 +50,10 @@ def main() -> None:
     # axon plugin would otherwise force the (shared) TPU chip.
     jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
-
-    from byogan_tpu.data.pipeline import StageDataset
-    from byogan_tpu.data.prep import prepare_pyramid
-    from byogan_tpu.data.synthetic import write_synthetic_dataset
     from byogan_tpu.train.config import TrainConfig
-    from byogan_tpu.train.loop import train
 
-    from tpu_convergence import channel_stats, generated_stats  # noqa: E402
-
-    data = os.path.join(out_root, "data")
-    if not os.path.isdir(os.path.join(data, "prepared")):
-        write_synthetic_dataset(data, n_images=256, size=8, seed=5)
-        prepare_pyramid(data, 4, 8)
-    for stale in ("checkpoints", "output"):
-        shutil.rmtree(os.path.join(out_root, stale), ignore_errors=True)
+    data = prepare_data(out_root, n_images=256, size=8, seed=5)
+    verify_only, _ = resolve_run_state(out_root, allow_resume=False)
 
     config = TrainConfig(
         data=data,
@@ -74,77 +69,15 @@ def main() -> None:
         checkpoint_dir=os.path.join(out_root, "checkpoints"),
         output_dir=os.path.join(out_root, "output"),
     )
-
-    t0 = time.time()
-    train(config)
-    wall = time.time() - t0
-
-    # ---- verify the run learned ----
-    from byogan_tpu.train.metrics import read_metrics
-
-    metrics_path = os.path.join(config.output_dir, "metrics.jsonl")
-    metrics = [r for r in read_metrics(metrics_path) if "c_loss" in r]
-    assert metrics, "no metrics logged"
-    for rec in metrics:
-        assert np.isfinite(rec["c_loss"]) and np.isfinite(rec["g_loss"]), rec
-
-    ds = StageDataset(data, 2)
-    real = ds.get_batch_uint8(np.arange(64)).astype(np.float32) / 255.0
-    real_means, real_sstd = channel_stats(real)
-
-    final = os.path.join(config.checkpoint_dir, "FINAL")
-    trained_means, trained_sstd = generated_stats(final)
-
-    from byogan_tpu.models.factory import build_critic, build_generator
-    from byogan_tpu.train.checkpoint import save_checkpoint
-    from byogan_tpu.train.loop import model_spec
-    from byogan_tpu.train.state import create_train_state
-
-    spec = model_spec(config)
-    fresh_state = create_train_state(
-        config, build_generator(spec), build_critic(spec)
-    ).replace(stage=2)
-    fresh_dir = save_checkpoint(
-        os.path.join(out_root, "fresh"), fresh_state, None, name="INIT",
-        model_spec=spec,
+    run_and_verify(
+        out_root, config, N_STAGES,
+        verify_only=verify_only,
+        summary_head={"loss": "wgan-gp (use_r1=False)"},
+        include_first_loss=True,
+        expect_evals=False,
+        pass_message="WGAN-GP CONVERGENCE RUN PASSED",
     )
-    fresh_means, fresh_sstd = generated_stats(fresh_dir)
-
-    trained_err = float(np.abs(trained_means - real_means).mean())
-    fresh_err = float(np.abs(fresh_means - real_means).mean())
-
-    summary = {
-        "loss": "wgan-gp (use_r1=False)",
-        "iters": metrics[-1]["iter"],
-        "wall_seconds": round(wall, 1),
-        "final_stage": metrics[-1]["stage"],
-        "c_loss_first": metrics[0]["c_loss"],
-        "c_loss_last": metrics[-1]["c_loss"],
-        "g_loss_last": metrics[-1]["g_loss"],
-        "real_channel_means": [round(float(v), 4) for v in real_means],
-        "trained_channel_means": [round(float(v), 4) for v in trained_means],
-        "fresh_channel_means": [round(float(v), 4) for v in fresh_means],
-        "trained_channel_mean_err": round(trained_err, 4),
-        "fresh_channel_mean_err": round(fresh_err, 4),
-        "real_spatial_std": round(real_sstd, 4),
-        "trained_spatial_std": round(trained_sstd, 4),
-        "fresh_spatial_std": round(fresh_sstd, 4),
-    }
-    with open(os.path.join(out_root, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    print(json.dumps(summary))
-
-    assert trained_err < fresh_err, (
-        f"WGAN-GP training did not move generated stats toward the data: "
-        f"trained_err={trained_err} vs fresh_err={fresh_err}"
-    )
-    assert trained_sstd > 0.03, (
-        f"mode collapse to near-constant images (spatial std {trained_sstd})"
-    )
-    shutil.rmtree(os.path.join(out_root, "fresh"), ignore_errors=True)
-    print("WGAN-GP CONVERGENCE RUN PASSED")
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()
