@@ -17,8 +17,9 @@ from __future__ import annotations
 import argparse
 import os
 
-from byogan_tpu.core.grids import save_image
+from byogan_tpu.core.grids import to_uint8
 from byogan_tpu.core.random import synthesis_noise, truncated_noise
+from byogan_tpu.serve import save_frame_u8
 
 
 def main(argv=None):
@@ -147,18 +148,13 @@ def main(argv=None):
         imgs = np.asarray(synthesize(z, n_key))[:n]
         for i in range(n):
             stem = os.path.join(args.output_dir, f"image_{written + i + 1}")
-            if args.format == "png":
-                save_image(imgs[i], stem + ".png")
-            elif args.format == "jpeg":
-                from byogan_tpu.core.grids import to_uint8
-                from byogan_tpu.serve import _save_u8_jpeg
-
-                _save_u8_jpeg(to_uint8(imgs[i]), stem + ".jpg",
-                              args.jpeg_quality)
-            else:
-                from byogan_tpu.core.grids import to_uint8
-
-                np.save(stem + ".npy", to_uint8(imgs[i]))
+            # One quantization rule (to_uint8, the reference's raw-range save
+            # semantics) and one format dispatch (serve.save_frame_u8) for
+            # every encode lane; png keeps the save_image zlib level.
+            save_frame_u8(
+                to_uint8(imgs[i]), stem, args.format,
+                jpeg_quality=args.jpeg_quality, png_compression=6,
+            )
         written += n
     print(f"wrote {written} images to {args.output_dir}")
 

@@ -267,8 +267,16 @@ int byogan_encode_jpeg(const char* path, const uint8_t* data, int h, int w,
   FILE* fp = fopen(path, "wb");
   if (!fp) return -1;
   jpeg_compress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    // libjpeg's default error_exit would exit() the whole process (e.g. on
+    // a full disk mid-write); return an error code like the PNG paths do.
+    jpeg_destroy_compress(&cinfo);
+    fclose(fp);
+    return -4;
+  }
   jpeg_create_compress(&cinfo);
   jpeg_stdio_dest(&cinfo, fp);
   cinfo.image_width = w;

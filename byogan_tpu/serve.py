@@ -31,11 +31,16 @@ from byogan_tpu.models.factory import ModelSpec, build_generator
 from byogan_tpu.train.checkpoint import load_checkpoint
 
 
-def _save_u8(frame: np.ndarray, path: str) -> None:
+#: encode lane -> file extension (the one definition both the Sampler and
+#: the CLIs dispatch on).
+FRAME_EXTENSIONS = {"png": ".png", "jpeg": ".jpg", "raw": ".npy"}
+
+
+def _save_u8(frame: np.ndarray, path: str, compression: int = 1) -> None:
     """Encode an already-quantized uint8 HWC frame (fast zlib level)."""
     from byogan_tpu.data.native import encode_png
 
-    if encode_png(path, frame, compression=1):
+    if encode_png(path, frame, compression=compression):
         return
     from PIL import Image
 
@@ -51,6 +56,29 @@ def _save_u8_jpeg(frame: np.ndarray, path: str, quality: int) -> None:
     from PIL import Image
 
     Image.fromarray(frame).save(path, quality=quality)
+
+
+def save_frame_u8(
+    frame: np.ndarray,
+    stem: str,
+    format: str = "png",
+    jpeg_quality: int = 92,
+    png_compression: int = 1,
+) -> str:
+    """Write one already-quantized uint8 HWC frame via the chosen encode lane
+    ("png" | "jpeg" | "raw"); returns the path written (stem + extension).
+
+    The single definition of the format dispatch, shared by
+    ``Sampler.save_stream`` and ``byogan-generate --format``.
+    """
+    path = stem + FRAME_EXTENSIONS[format]
+    if format == "png":
+        _save_u8(frame, path, compression=png_compression)
+    elif format == "jpeg":
+        _save_u8_jpeg(frame, path, jpeg_quality)
+    else:
+        np.save(path, frame)
+    return path
 
 
 class Sampler:
@@ -305,9 +333,8 @@ class Sampler:
           - "raw":  uint8 HWC .npy per frame, no encode at all — the
             zero-host-cost ceiling; consumers np.load() them.
         """
-        if format not in ("png", "jpeg", "raw"):
+        if format not in FRAME_EXTENSIONS:
             raise ValueError(f"unknown save_stream format: {format!r}")
-        ext = {"png": ".png", "jpeg": ".jpg", "raw": ".npy"}[format]
         os.makedirs(directory, exist_ok=True)
         q: "queue.Queue" = queue.Queue(maxsize=4)
         _DONE = object()
@@ -324,13 +351,8 @@ class Sampler:
                 try:
                     for frame in item:  # frames arrive uint8 from the device
                         idx += 1
-                        path = os.path.join(directory, f"{prefix}{idx}{ext}")
-                        if format == "png":
-                            _save_u8(frame, path)
-                        elif format == "jpeg":
-                            _save_u8_jpeg(frame, path, jpeg_quality)
-                        else:
-                            np.save(path, frame)
+                        stem = os.path.join(directory, f"{prefix}{idx}")
+                        save_frame_u8(frame, stem, format, jpeg_quality)
                 except Exception as e:  # surface encode errors to the caller
                     error.append(e)
 

@@ -90,6 +90,21 @@ def test_decode_error_raises(tmp_path):
         native.decode_image(bad)
 
 
+def test_jpeg_encode_write_error_raises():
+    """A failing write during JPEG encode must raise OSError, not kill the
+    process: libjpeg's default error_exit calls exit(); byogan_encode_jpeg
+    overrides it with the same setjmp handler the decode path uses
+    (byogan_io.cpp).  /dev/full accepts the fopen but fails every flush."""
+    if not os.path.exists("/dev/full"):
+        pytest.skip("no /dev/full on this platform")
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), np.uint8)
+    with pytest.raises(OSError):
+        native.encode_jpeg("/dev/full", img)
+    # The library must remain usable after the recovered error.
+    ok = np.zeros((8, 8, 3), np.uint8)
+    assert native.encode_jpeg(os.devnull, ok) is True
+
+
 def test_transparent_palette_png_decodes_to_rgb(tmp_path):
     """Palette/gray PNGs with a tRNS chunk must come out 3-channel (the tRNS
     -> alpha conversion adds a 4th channel that MUST be stripped; unstripped
