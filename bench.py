@@ -50,13 +50,19 @@ def main(retried: bool = False) -> None:
     # default 1 = the reference-faithful headline: penalty every iteration).
     # BENCH_MIX=p measures style-mixing regularization's cost (opt-in
     # extension; default 0 = headline: one w for all layers).
+    # BENCH_AUG_P=p / BENCH_ADA_TARGET=t measure discriminator augmentation
+    # (opt-in extension; default 0/0 = headline: no augmentation).
     r1_interval = int(os.environ.get("BENCH_R1_INTERVAL", 1))
     style_mix_prob = float(os.environ.get("BENCH_MIX", 0.0))
+    aug_p = float(os.environ.get("BENCH_AUG_P", 0.0))
+    ada_target = float(os.environ.get("BENCH_ADA_TARGET", 0.0))
     config = TrainConfig(
         compute_dtype=dtype,
         ema_beta=float(os.environ.get("BENCH_EMA", 0.0)),
         r1_interval=r1_interval,
         style_mix_prob=style_mix_prob,
+        aug_p=aug_p,
+        ada_target=ada_target,
     )
     model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
     gen = Generator(dtype=model_dtype)
@@ -135,6 +141,8 @@ def main(retried: bool = False) -> None:
                     if style_mix_prob > 0
                     else {}
                 ),
+                **({"aug_p": aug_p} if aug_p > 0 else {}),
+                **({"ada_target": ada_target} if ada_target > 0 else {}),
             }
         )
     )

@@ -129,6 +129,11 @@ def shard_train_state(state, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
         rng=jax.device_put(state.rng, replicated),
         iters=jax.device_put(state.iters, replicated),
         im_count=jax.device_put(state.im_count, replicated),
+        aug_p=(
+            jax.device_put(state.aug_p, replicated)
+            if state.aug_p is not None
+            else None
+        ),
     )
 
 

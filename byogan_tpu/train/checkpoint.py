@@ -73,6 +73,8 @@ def save_checkpoint(
     }
     if state.gen_ema is not None:
         tree["gen_ema"] = state.gen_ema
+    if state.aug_p is not None:
+        tree["aug_p"] = state.aug_p
     _checkpointer().save(path, tree, force=True)  # orbax write is atomic
     meta = {
         "iter": int(state.iters),
@@ -83,6 +85,7 @@ def save_checkpoint(
         "format": "byogan_tpu.v1",
         "model": model_spec.to_dict() if model_spec is not None else None,
         "ema": state.gen_ema is not None,
+        "ada": state.aug_p is not None,
     }
     meta_path = os.path.join(path, _META_NAME)
     tmp = meta_path + ".tmp"
@@ -193,6 +196,7 @@ def load_checkpoint(
     with open(meta_path) as f:
         meta = json.load(f)
     has_ema = bool(meta.get("ema", False))
+    has_ada = bool(meta.get("ada", False))
 
     template = None
     if template_state is not None:
@@ -210,6 +214,12 @@ def load_checkpoint(
                 template_state.gen_ema
                 if template_state.gen_ema is not None
                 else template_state.gen_params
+            )
+        if has_ada:
+            template["aug_p"] = (
+                template_state.aug_p
+                if template_state.aug_p is not None
+                else np.float32(0.0)
             )
     if template is not None:
         tree = _checkpointer().restore(os.path.abspath(path), item=template)
@@ -233,6 +243,7 @@ def load_checkpoint(
         "critic_opt_state": tree.get("critic_opt_state"),
         "rng": tree.get("rng"),
         "gen_ema": tree.get("gen_ema"),
+        "aug_p": tree.get("aug_p"),
         "iter": meta["iter"],
         "im_count": meta["im_count"],
         "step": meta["step"],
@@ -261,10 +272,17 @@ def restore_train_state(
 
             gen_ema = jax.tree.map(lambda x: jnp.asarray(x).copy(),
                                    loaded["gen_params"])
+    aug_p = template_state.aug_p
+    if aug_p is not None and loaded.get("aug_p") is not None:
+        # Augmentation-enabled run resuming an ADA checkpoint: continue at
+        # the adapted probability.  Resuming from a pre-ADA/.pth checkpoint
+        # keeps the template's config-seeded initial p instead.
+        aug_p = jnp.float32(np.asarray(loaded["aug_p"]))
     state = template_state.replace(
         gen_params=loaded["gen_params"],
         critic_params=loaded["critic_params"],
         gen_ema=gen_ema,
+        aug_p=aug_p,
         iters=jnp.int32(loaded["iter"]),
         im_count=jnp.int32(loaded["im_count"]),
         stage=loaded["step"],

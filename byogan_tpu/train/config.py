@@ -99,6 +99,22 @@ class TrainConfig:
     # gan.py:185).  Applies to generator forwards in BOTH the critic and
     # generator phases; eval/sampling are untouched.  No effect at stage 1
     # (no crossover point exists below two stages).
+    aug_p: float = 0.0  # differentiable critic-input augmentation (opt-in;
+    # DiffAugment/ADA family, ops/augment.py): with this per-sample,
+    # per-transform probability, BOTH real and fake images entering the
+    # critic are augmented (x-flip, translate, brightness/contrast/
+    # saturation, cutout) — the small-dataset overfit countermeasure the
+    # reference lacks.  0 = off (the reference behavior; the compiled step
+    # is untouched).  With ada_target > 0 this is only the INITIAL p.
+    ada_target: float = 0.0  # adaptive augmentation (opt-in; StyleGAN2-ADA):
+    # steer aug_p so the critic's overfit heuristic r_t = E[sign(D(real))]
+    # sits at this target (paper default 0.6).  The controller runs inside
+    # the compiled step on a dynamic scalar (TrainState.aug_p) — adapting p
+    # never retraces.  0 = off.  Requires use_r1=True (r_t is a logistic-
+    # loss statistic; WGAN scores have no calibrated zero).
+    ada_speed: int = 500_000  # images over which the ADA controller can move
+    # p across the full [0, 1] range (paper: 500k).  Smaller = faster
+    # adaptation; scale it down with tiny demo datasets.
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
@@ -106,6 +122,12 @@ class TrainConfig:
     @property
     def num_stages(self) -> int:
         return len(self.epoch_progression)
+
+    @property
+    def use_aug(self) -> bool:
+        """Static augmentation gate: either a fixed aug_p or the ADA
+        controller turns the (otherwise absent) augment path on."""
+        return self.aug_p > 0.0 or self.ada_target > 0.0
 
     def stage_batch(self, stage_index: int) -> int:
         return self.batch_progression[stage_index]
@@ -172,6 +194,9 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         r1_interval=int(get("r1_interval", defaults.r1_interval)),
         style_mix_prob=float(get("style_mix_prob", defaults.style_mix_prob)),
         max_checkpoints=int(get("max_checkpoints", defaults.max_checkpoints)),
+        aug_p=float(get("aug_p", defaults.aug_p)),
+        ada_target=float(get("ada_target", defaults.ada_target)),
+        ada_speed=int(get("ada_speed", defaults.ada_speed)),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )

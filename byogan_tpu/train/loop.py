@@ -226,8 +226,14 @@ def _train(
     def flush_pending() -> None:
         nonlocal pending_log
         if pending_log is not None:
-            it0, ep0, st0, b0, cm, gm = pending_log
-            logger.log_step(it0, float(cm), float(gm), ep0, st0, b0)
+            it0, ep0, st0, b0, cm, gm, ex = pending_log
+            logger.log_step(
+                it0, float(cm), float(gm), ep0, st0, b0,
+                extra=(
+                    {k: round(float(v), 4) for k, v in ex.items()}
+                    if ex else None
+                ),
+            )
             pending_log = None
 
     def stop_save(epoch: int) -> TrainState:
@@ -373,10 +379,21 @@ def _train(
                 g_hist.append(metrics["g_loss"])
                 if total_iters % k == 0:
                     flush_pending()
+                    # Overfit observability: r_t = E[sign(D(real))] (the ADA
+                    # heuristic — drifts to +1 as the critic memorizes the
+                    # training set) rides along in the window fetch, plus
+                    # the current augmentation probability when ADA is on.
+                    # One or two extra scalars; training is untouched.
+                    extras = {}
+                    if "real_sign" in metrics:  # logistic losses only
+                        extras["rt"] = metrics["real_sign"]
+                    if config.use_aug:
+                        extras["aug_p"] = metrics["aug_p"]
                     pending_log = (
                         total_iters, epoch, steps, batch,
                         jnp.stack(list(c_hist)).mean(),
                         jnp.stack(list(g_hist)).mean(),
+                        extras,
                     )
 
                 if total_iters > 0 and total_iters % config.display_step == 0:

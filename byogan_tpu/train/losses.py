@@ -46,6 +46,15 @@ def gen_logistic_loss(crit_fake_pred: jax.Array) -> jax.Array:
 # -- Critic losses (reference gan.py:357-412) -------------------------------
 
 
+def _real_sign(real_pred: jax.Array) -> jax.Array:
+    """``E[sign(D(real))]`` — the ADA overfitting heuristic r_t (Karras et
+    al. 2020 §3): approaches +1 as the critic becomes confidently right on
+    (its view of) the training reals, ~0 at the logistic equilibrium.
+    Logged in aux; the adaptive-augmentation controller (train/steps.py)
+    steers it toward ``config.ada_target``."""
+    return jnp.mean(jnp.sign(real_pred.astype(jnp.float32)))
+
+
 def critic_r1_loss(
     critic_fn: Callable[[jax.Array], jax.Array],
     real: jax.Array,
@@ -76,6 +85,7 @@ def critic_r1_loss(
         "real_pred": jnp.mean(real_pred),
         "fake_pred": jnp.mean(fake_pred),
         "r1_penalty": penalty,
+        "real_sign": _real_sign(real_pred),
     }
     return loss, aux
 
@@ -100,6 +110,7 @@ def critic_logistic_loss(
         "real_pred": jnp.mean(real_pred),
         "fake_pred": jnp.mean(fake_pred),
         "r1_penalty": jnp.float32(0.0),
+        "real_sign": _real_sign(real_pred),
     }
     return loss, aux
 

@@ -39,6 +39,10 @@ class TrainState(struct.PyTreeNode):
     # fixed for a run, so the pytree structure — and thus the jit buckets —
     # never changes mid-run.
     gen_ema: Any = None
+    # Augmentation probability (None unless config.use_aug) — a DYNAMIC f32
+    # scalar, so the ADA controller (train/steps.py) can adapt it every
+    # iteration without retracing the step.
+    aug_p: Any = None
     # host-side (static) progress bookkeeping, carried for checkpointing:
     stage: int = struct.field(pytree_node=False, default=1)
     epoch: int = struct.field(pytree_node=False, default=0)
@@ -116,6 +120,7 @@ def create_train_state(
         iters=jnp.int32(0),
         im_count=jnp.int32(0),
         gen_ema=gen_ema,
+        aug_p=jnp.float32(config.aug_p) if config.use_aug else None,
         stage=1,
         epoch=0,
     )

@@ -101,6 +101,20 @@ def make_train_step(
     # Stage 1 has no crossover point — the plain path runs there even when
     # mixing is enabled.
     do_mix = mix_prob > 0.0 and steps >= 2
+    # Discriminator augmentation (opt-in extension, ops/augment.py): static
+    # gate, so the default emits the reference-faithful program untouched.
+    # do_ada additionally adapts TrainState.aug_p toward the r_t target.
+    do_aug = config.use_aug
+    do_ada = config.ada_target > 0.0
+    if do_ada and not use_r1:
+        raise ValueError(
+            "ada_target > 0 requires use_r1=True: the controller's r_t "
+            "statistic E[sign(D(real))] is only calibrated for the logistic "
+            "loss (WGAN critic scores have no meaningful zero).  Fixed-"
+            "probability augmentation (aug_p) works with either loss."
+        )
+    if do_aug:
+        from byogan_tpu.ops.augment import augment_batch
 
     def synthesize_mixed(gp, z_key, noise, alpha):
         z1_key, z2_key, mix_key = jax.random.split(z_key, 3)
@@ -143,10 +157,16 @@ def make_train_step(
             real = real.astype(jnp.float32) * (2.0 / 255.0) - 1.0
         real = real.astype(compute_dtype)
 
+        if do_aug and state.aug_p is None:
+            raise ValueError(
+                "augmentation is enabled (aug_p/ada_target) but TrainState "
+                "carries no aug_p — create the state with the same config"
+            )
+
         c_loss = jnp.float32(0)
         c_aux: Dict[str, jax.Array] = {}
         for r, fade in enumerate(critic_fade):
-            rng, z_key, noise_key, eps_key = jax.random.split(rng, 4)
+            rng, z_key, noise_key, eps_key, aug_key = jax.random.split(rng, 5)
             alpha = alpha_of(im_count) if fade else None
             noise = synthesis_noise(noise_key, batch, steps, dtype=compute_dtype)
             if do_mix:
@@ -162,6 +182,16 @@ def make_train_step(
                 )
             fake = jax.lax.stop_gradient(fake)  # critic sees detached fakes
             # (train.py:160)
+            if do_aug:
+                # Fresh independent augmentations per use (ADA: the critic
+                # never sees an un-augmented image while p > 0).  The R1
+                # penalty below then differentiates through D at its actual
+                # (augmented) input, as in the ADA reference implementation.
+                kr, kf = jax.random.split(aug_key)
+                real_r = augment_batch(kr, real, state.aug_p)
+                fake = augment_batch(kf, fake, state.aug_p)
+            else:
+                real_r = real
 
             def make_crit(cp):
                 return maybe_remat(
@@ -173,9 +203,9 @@ def make_train_step(
             def c_loss_fn(cp):
                 crit = make_crit(cp)
                 if use_r1:
-                    return losses.critic_r1_loss(crit, real, fake, c_lambda)
+                    return losses.critic_r1_loss(crit, real_r, fake, c_lambda)
                 return losses.critic_wgan_gp_loss(
-                    crit, real, fake, c_lambda, eps_key
+                    crit, real_r, fake, c_lambda, eps_key
                 )
 
             if r1_interval > 1:
@@ -188,11 +218,13 @@ def make_train_step(
                 # retrace); only the taken branch executes on TPU.
                 def penalized(cp):
                     return losses.critic_r1_loss(
-                        make_crit(cp), real, fake, c_lambda * r1_interval
+                        make_crit(cp), real_r, fake, c_lambda * r1_interval
                     )
 
                 def plain(cp):
-                    return losses.critic_logistic_loss(make_crit(cp), real, fake)
+                    return losses.critic_logistic_loss(
+                        make_crit(cp), real_r, fake
+                    )
 
                 (c_loss, c_aux), c_grads = jax.lax.cond(
                     state.iters % r1_interval == 0,
@@ -210,7 +242,7 @@ def make_train_step(
 
         # Generator phase (train.py:193-219): fresh latents, alpha recomputed
         # after the critic repeats advanced im_count (train.py:198-201).
-        rng, z_key, noise_key = jax.random.split(rng, 3)
+        rng, z_key, noise_key, g_aug_key = jax.random.split(rng, 4)
         alpha_g = alpha_of(im_count) if gen_fade else None
         z = (
             None
@@ -233,6 +265,11 @@ def make_train_step(
                         {"params": gp}, z_, noise, steps=steps, alpha=alpha_g
                     )
                 )(z)
+            if do_aug:
+                # Differentiable: the generator receives its gradient
+                # THROUGH the augmentation of its own output (the ADA
+                # mechanism that makes augmented training non-leaking).
+                fake = augment_batch(g_aug_key, fake, state.aug_p)
             pred = maybe_remat(
                 lambda imgs: critic.apply(
                     {"params": c_params}, imgs, steps=steps, alpha=alpha_g
@@ -258,6 +295,17 @@ def make_train_step(
                 gen_params,
             )
 
+        # ADA controller (Karras et al. 2020 §3): nudge p so r_t =
+        # E[sign(D(real_aug))] (from the LAST critic repeat) tracks the
+        # target; the full [0,1] traverse takes ada_speed images.  Pure
+        # scalar math on a dynamic state field — no retrace, ~zero cost.
+        aug_p = state.aug_p
+        if do_ada:
+            adjust = jnp.sign(c_aux["real_sign"] - config.ada_target) * (
+                (batch * config.critic_repeats) / float(config.ada_speed)
+            )
+            aug_p = jnp.clip(aug_p + adjust, 0.0, 1.0)
+
         new_state = state.replace(
             gen_params=gen_params,
             critic_params=c_params,
@@ -267,12 +315,15 @@ def make_train_step(
             iters=state.iters + 1,
             im_count=im_count,
             gen_ema=gen_ema,
+            aug_p=aug_p,
         )
         metrics = {
             "c_loss": c_loss.astype(jnp.float32),
             "g_loss": g_loss.astype(jnp.float32),
             **{k: v.astype(jnp.float32) for k, v in c_aux.items()},
         }
+        if do_aug:
+            metrics["aug_p"] = aug_p
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
