@@ -1,10 +1,15 @@
-"""Export a byogan_tpu checkpoint as a reference-loadable PyTorch ``.pth``.
+"""Export a byogan_tpu checkpoint — two lanes:
 
-Interop completion: the reference's own ``generate_samples.py`` /
-``interpolate.py`` can consume the exported file (DataParallel ``module.``
-keys, logical fields of train.py:248-259).  Only reference-shaped
-architectures (ModelSpec defaults) are exportable — scaled models have no
-torch counterpart.
+  * default: a reference-loadable PyTorch ``.pth``.  Interop completion:
+    the reference's own ``generate_samples.py`` / ``interpolate.py`` can
+    consume the exported file (DataParallel ``module.`` keys, logical
+    fields of train.py:248-259).  Only reference-shaped architectures
+    (ModelSpec defaults) are exportable — scaled models have no torch
+    counterpart.
+  * ``--stablehlo``: a self-contained serving artifact (jax.export) with
+    the generator weights baked in as constants — serveable without
+    byogan_tpu, flax, or the checkpoint (byogan_tpu/deploy.py).  Works
+    for ANY architecture, lowered for cpu+tpu by default.
 """
 
 from __future__ import annotations
@@ -19,13 +24,55 @@ def main(argv=None):
     parser.add_argument(
         "--ema", action="store_true",
         help="export the EMA generator weights into the .pth 'gen' slot "
-        "(the reference format has no EMA concept)",
+        "(the reference format has no EMA concept) / into the StableHLO "
+        "module",
+    )
+    parser.add_argument(
+        "--stablehlo", action="store_true",
+        help="write a self-contained jax.export/StableHLO serving module "
+        "(+ .json sidecar) instead of a .pth",
+    )
+    parser.add_argument(
+        "--batch", type=int, default=32,
+        help="--stablehlo: batch size the module is traced at",
+    )
+    parser.add_argument(
+        "--dtype", default="bfloat16",
+        help="--stablehlo: compute dtype (bfloat16|float32)",
+    )
+    parser.add_argument(
+        "--psi", type=float, default=None,
+        help="--stablehlo: bake W-space truncation (mean w embedded as a "
+        "module constant)",
+    )
+    parser.add_argument(
+        "--platforms", default="cpu,tpu",
+        help="--stablehlo: comma-separated lowering targets",
     )
     args = parser.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    if args.stablehlo:
+        from byogan_tpu.deploy import export_stablehlo
+
+        meta = export_stablehlo(
+            args.checkpoint,
+            args.output,
+            batch=args.batch,
+            dtype=args.dtype,
+            use_ema=args.ema,
+            truncation_psi=args.psi,
+            platforms=tuple(p for p in args.platforms.split(",") if p),
+        )
+        print(
+            f"exported {args.checkpoint} -> {args.output} "
+            f"({meta['bytes']} bytes, {meta['resolution']}px, "
+            f"platforms {','.join(meta['platforms'])})"
+        )
+        return
 
     from byogan_tpu.models.factory import ModelSpec
     from byogan_tpu.train.checkpoint import load_checkpoint
