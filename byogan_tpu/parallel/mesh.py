@@ -134,6 +134,11 @@ def shard_train_state(state, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
             if state.aug_p is not None
             else None
         ),
+        rt_ema=(
+            jax.device_put(state.rt_ema, replicated)
+            if state.rt_ema is not None
+            else None
+        ),
     )
 
 

@@ -115,9 +115,37 @@ class TrainConfig:
     ada_speed: int = 500_000  # images over which the ADA controller can move
     # p across the full [0, 1] range (paper: 500k).  Smaller = faster
     # adaptation; scale it down with tiny demo datasets.
+    ada_rt_beta: float = 0.9  # per-iteration EMA decay for the controller's
+    # r_t input (window ~ 1/(1-beta) iterations; the paper integrates r_t
+    # over 4 minibatches x 64 images).  A single minibatch's
+    # E[sign(D(real))] is +-1-quantized at small batches, so steering on it
+    # raw makes p jitter (benchmarks/ada round 3); the EMA — one dynamic f32
+    # scalar in TrainState — smooths the input without changing the
+    # endpoint.  0.0 = steer on the per-iteration reading directly.
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
+
+    def __post_init__(self):
+        # Fail at construction, not hours into a run: stage_batch() indexes
+        # batch_progression per stage while num_stages comes from
+        # epoch_progression — a short batch_progression would otherwise
+        # IndexError at the final stage boundary after most of the schedule's
+        # wall-clock had already been spent (the reference has the same
+        # latent mismatch, train.py:33-38 / config.txt:4-5).
+        if len(self.batch_progression) < len(self.epoch_progression):
+            raise ValueError(
+                f"batch_progression has {len(self.batch_progression)} entries "
+                f"but epoch_progression defines {len(self.epoch_progression)} "
+                "stages; every stage needs a batch size"
+            )
+        if self.remat_progression is not None and len(
+            self.remat_progression
+        ) != len(self.epoch_progression):
+            raise ValueError(
+                f"remat_progression has {len(self.remat_progression)} flags "
+                f"for {len(self.epoch_progression)} stages"
+            )
 
     @property
     def num_stages(self) -> int:
@@ -197,6 +225,7 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         aug_p=float(get("aug_p", defaults.aug_p)),
         ada_target=float(get("ada_target", defaults.ada_target)),
         ada_speed=int(get("ada_speed", defaults.ada_speed)),
+        ada_rt_beta=float(get("ada_rt_beta", defaults.ada_rt_beta)),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )
@@ -208,4 +237,7 @@ def load_ini_config(path: str, section: str) -> TrainConfig:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     parser.read(path)
-    return config_from_mapping(parser[section])
+    try:
+        return config_from_mapping(parser[section])
+    except ValueError as e:
+        raise ValueError(f"{path} [{section}]: {e}") from e

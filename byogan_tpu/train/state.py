@@ -43,6 +43,10 @@ class TrainState(struct.PyTreeNode):
     # scalar, so the ADA controller (train/steps.py) can adapt it every
     # iteration without retracing the step.
     aug_p: Any = None
+    # EMA of the ADA overfit heuristic r_t (None unless ada_target > 0) —
+    # the controller's smoothed input (config.ada_rt_beta); dynamic like
+    # aug_p so updating it never retraces.
+    rt_ema: Any = None
     # host-side (static) progress bookkeeping, carried for checkpointing:
     stage: int = struct.field(pytree_node=False, default=1)
     epoch: int = struct.field(pytree_node=False, default=0)
@@ -121,6 +125,7 @@ def create_train_state(
         im_count=jnp.int32(0),
         gen_ema=gen_ema,
         aug_p=jnp.float32(config.aug_p) if config.use_aug else None,
+        rt_ema=jnp.float32(0.0) if config.ada_target > 0 else None,
         stage=1,
         epoch=0,
     )

@@ -165,6 +165,7 @@ def make_train_step(
 
         c_loss = jnp.float32(0)
         c_aux: Dict[str, jax.Array] = {}
+        rt_acc = jnp.float32(0)  # per-repeat r_t readings, averaged for ADA
         for r, fade in enumerate(critic_fade):
             rng, z_key, noise_key, eps_key, aug_key = jax.random.split(rng, 5)
             alpha = alpha_of(im_count) if fade else None
@@ -236,6 +237,8 @@ def make_train_step(
                 (c_loss, c_aux), c_grads = jax.value_and_grad(
                     c_loss_fn, has_aux=True
                 )(c_params)
+            if do_ada:
+                rt_acc = rt_acc + c_aux["real_sign"]
             updates, c_opt_state = critic_tx.update(c_grads, c_opt_state, c_params)
             c_params = optax.apply_updates(c_params, updates)
             im_count = im_count + batch
@@ -296,12 +299,24 @@ def make_train_step(
             )
 
         # ADA controller (Karras et al. 2020 §3): nudge p so r_t =
-        # E[sign(D(real_aug))] (from the LAST critic repeat) tracks the
-        # target; the full [0,1] traverse takes ada_speed images.  Pure
-        # scalar math on a dynamic state field — no retrace, ~zero cost.
+        # E[sign(D(real_aug))] tracks the target; the full [0,1] traverse
+        # takes ada_speed images.  The controller steers on an EMA of r_t
+        # (all critic repeats averaged, then smoothed over ~1/(1-ada_rt_beta)
+        # iterations) — a single minibatch's reading is +-1-quantized at
+        # small batches and made p jitter (paper: r_t integrated over 4x64
+        # images).  Pure scalar math on dynamic fields — no retrace.
         aug_p = state.aug_p
+        rt_ema = state.rt_ema
         if do_ada:
-            adjust = jnp.sign(c_aux["real_sign"] - config.ada_target) * (
+            if rt_ema is None:
+                raise ValueError(
+                    "ada_target > 0 but TrainState carries no rt_ema — "
+                    "create the state with the same config"
+                )
+            rt_iter = rt_acc / len(critic_fade)
+            beta = config.ada_rt_beta
+            rt_ema = beta * rt_ema + (1.0 - beta) * rt_iter
+            adjust = jnp.sign(rt_ema - config.ada_target) * (
                 (batch * config.critic_repeats) / float(config.ada_speed)
             )
             aug_p = jnp.clip(aug_p + adjust, 0.0, 1.0)
@@ -316,6 +331,7 @@ def make_train_step(
             im_count=im_count,
             gen_ema=gen_ema,
             aug_p=aug_p,
+            rt_ema=rt_ema,
         )
         metrics = {
             "c_loss": c_loss.astype(jnp.float32),
@@ -324,6 +340,8 @@ def make_train_step(
         }
         if do_aug:
             metrics["aug_p"] = aug_p
+        if do_ada:
+            metrics["rt_ema"] = rt_ema
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

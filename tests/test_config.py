@@ -21,9 +21,31 @@ def test_remat_progression_parse_and_stage_lookup():
     # length mismatch is a clear error
     import pytest
 
-    bad = TrainConfig(
-        batch_progression=(4, 4), epoch_progression=(1, 1),
-        remat_progression=(True,),
-    )
     with pytest.raises(ValueError, match="remat_progression"):
-        bad.stage_remat(0)
+        TrainConfig(
+            batch_progression=(4, 4), epoch_progression=(1, 1),
+            remat_progression=(True,),
+        )
+
+
+def test_progression_length_mismatch_fails_at_construction(tmp_path):
+    """A batch_progression shorter than epoch_progression must error at
+    config construction — not IndexError at the final stage boundary hours
+    into a run (the reference's latent bug, train.py:33-38)."""
+    import pytest
+
+    from byogan_tpu.train.config import TrainConfig, load_ini_config
+
+    with pytest.raises(ValueError, match="batch_progression"):
+        TrainConfig(batch_progression=(4, 4), epoch_progression=(1, 1, 1))
+    # equal or longer is fine (extra batch entries are simply unused)
+    TrainConfig(batch_progression=(4, 4, 4, 4), epoch_progression=(1, 1, 1))
+
+    # the INI loader names the file and section in its error
+    ini = tmp_path / "config.txt"
+    ini.write_text(
+        "[DEFAULT]\nbatch_progression = 4,4\nepoch_progression = 1,1,1\n"
+        "[demo]\n"
+    )
+    with pytest.raises(ValueError, match=r"config\.txt \[demo\]"):
+        load_ini_config(str(ini), "demo")
