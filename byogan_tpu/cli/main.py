@@ -39,6 +39,12 @@ def main(argv=None):
         help="resume from the newest checkpoint in checkpoint_dir if one "
         "exists (failure recovery; the reference requires a manual -c path)",
     )
+    parser.add_argument(
+        "--force-resume", action="store_true",
+        help="resume even when the config's trajectory knobs (batch/epoch "
+        "progressions, critic_repeats, seed, ...) differ from the ones the "
+        "checkpoint was trained with — the resumed trajectory will diverge",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -62,7 +68,12 @@ def main(argv=None):
             print(f"auto-resuming from {checkpoint}")
 
     with trace_if(args.trace_dir):
-        train(config, checkpoint=checkpoint, max_iters=args.max_iters)
+        train(
+            config,
+            checkpoint=checkpoint,
+            max_iters=args.max_iters,
+            allow_config_mismatch=args.force_resume,
+        )
 
 
 if __name__ == "__main__":

@@ -32,6 +32,73 @@ from byogan_tpu.train.state import TrainState
 _META_NAME = "byogan_meta.json"
 _ORBAX_CKPT = None
 
+#: Config knobs that determine the training TRAJECTORY — the batch-exact
+#: resume reconstructs the epoch/batch position and RNG stream from these
+#: (loop.py derives iters_done from im_count // (batch * critic_repeats));
+#: resuming under a different value of any of them silently lands on the
+#: wrong batch / a misaligned RNG stream instead of erroring.  Recorded in
+#: byogan_meta.json at save time and validated on restore.  The reference
+#: has the same hole (train.py:90-100) — ours must not.
+_TRAJECTORY_KEYS = (
+    "batch_progression",
+    "epoch_progression",
+    "critic_repeats",
+    "fade_percentage",
+    "seed",
+    "noise_trunc",
+    "use_r1",
+    "r1_interval",
+    "style_mix_prob",
+    "aug_p",
+    "ada_target",
+    "ada_speed",
+    "compute_dtype",
+)
+
+
+def trajectory_snapshot(config) -> Dict[str, Any]:
+    """JSON-safe snapshot of the trajectory-affecting config knobs."""
+    snap = {}
+    for key in _TRAJECTORY_KEYS:
+        value = getattr(config, key)
+        snap[key] = list(value) if isinstance(value, tuple) else value
+    return snap
+
+
+def check_resume_config(
+    meta: Dict[str, Any], config, allow_mismatch: bool = False
+) -> None:
+    """Error (or warn, with ``allow_mismatch``) when the resuming config's
+    trajectory knobs differ from the ones the checkpoint was trained with.
+
+    Checkpoints written before this guard carry no snapshot — those load
+    unchecked (there is nothing to compare against).
+    """
+    saved = meta.get("train_config")
+    if saved is None or config is None:
+        return
+    current = trajectory_snapshot(config)
+    mismatched = [
+        f"  {k}: checkpoint={saved[k]!r} vs config={current[k]!r}"
+        for k in _TRAJECTORY_KEYS
+        if k in saved and saved[k] != current[k]
+    ]
+    if not mismatched:
+        return
+    detail = (
+        "resume config mismatch — these knobs steer the batch-exact resume "
+        "position and RNG stream, so the resumed trajectory would silently "
+        "diverge:\n" + "\n".join(mismatched)
+    )
+    if allow_mismatch:
+        print(f"WARNING: {detail}\n(continuing: mismatch explicitly allowed)")
+        return
+    raise ValueError(
+        detail + "\n(resume with the original config, or pass "
+        "--force-resume / allow_config_mismatch=True to accept a divergent "
+        "trajectory)"
+    )
+
 
 def _checkpointer():
     global _ORBAX_CKPT
@@ -53,15 +120,26 @@ def save_checkpoint(
     alpha: Optional[float],
     name: Optional[str] = None,
     model_spec=None,
+    train_config=None,
 ) -> str:
     """Atomically save the full TrainState + reference-compatible meta.
 
     ``alpha`` is the reference's saved fade value (None once past fade —
     train.py:256, train.py:271 saves None at FINAL).
+
+    Multi-host: EVERY process must call this together (train/loop.py does —
+    the call sites are deliberately NOT process-gated).  orbax coordinates
+    the write (each process persists only the shards it can address; with
+    our replicated/DP params the primary writes once), and process 0 alone
+    writes the meta json; a cross-process barrier after the meta guarantees
+    no process races ahead of a complete checkpoint (e.g. into
+    prune_checkpoints or a final exit).
     """
     os.makedirs(directory, exist_ok=True)
     name = name or checkpoint_name(int(state.iters))
     path = os.path.abspath(os.path.join(directory, name))
+    multiprocess = jax.process_count() > 1
+    is_primary = jax.process_index() == 0
     tree = {
         "gen_params": state.gen_params,
         "critic_params": state.critic_params,
@@ -75,6 +153,8 @@ def save_checkpoint(
         tree["gen_ema"] = state.gen_ema
     if state.aug_p is not None:
         tree["aug_p"] = state.aug_p
+    if state.rt_ema is not None:
+        tree["rt_ema"] = state.rt_ema
     _checkpointer().save(path, tree, force=True)  # orbax write is atomic
     meta = {
         "iter": int(state.iters),
@@ -86,12 +166,25 @@ def save_checkpoint(
         "model": model_spec.to_dict() if model_spec is not None else None,
         "ema": state.gen_ema is not None,
         "ada": state.aug_p is not None,
+        "ada_rt": state.rt_ema is not None,
+        "train_config": (
+            trajectory_snapshot(train_config)
+            if train_config is not None
+            else None
+        ),
     }
     meta_path = os.path.join(path, _META_NAME)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    if not multiprocess or is_primary:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+    if multiprocess:
+        from jax.experimental import multihost_utils
+
+        # No process proceeds (prune/resume/exit) before the checkpoint —
+        # orbax tree AND meta — is complete on disk.
+        multihost_utils.sync_global_devices(f"byogan_ckpt:{name}")
     return path
 
 
@@ -197,6 +290,7 @@ def load_checkpoint(
         meta = json.load(f)
     has_ema = bool(meta.get("ema", False))
     has_ada = bool(meta.get("ada", False))
+    has_ada_rt = bool(meta.get("ada_rt", False))
 
     template = None
     if template_state is not None:
@@ -221,8 +315,30 @@ def load_checkpoint(
                 if template_state.aug_p is not None
                 else np.float32(0.0)
             )
+        if has_ada_rt:
+            template["rt_ema"] = (
+                template_state.rt_ema
+                if template_state.rt_ema is not None
+                else np.float32(0.0)
+            )
     if template is not None:
-        tree = _checkpointer().restore(os.path.abspath(path), item=template)
+        # Restore as HOST numpy INTO the template's structure (optax
+        # namedtuples etc. come from the template; values from disk).
+        # Restoring to the template's device arrays instead would make
+        # orbax deserialize the SAVED shardings — which reference the
+        # writing run's topology and fail across process counts (e.g. a
+        # 2-process-written checkpoint resumed single-process, or a
+        # TPU-written one on CPU).  Device placement happens downstream
+        # (shard_train_state / the first jitted step).
+        import orbax.checkpoint as ocp
+
+        tree = _checkpointer().restore(
+            os.path.abspath(path),
+            item=template,
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+            ),
+        )
     else:
         # No template (sampling/eval surfaces): restore as HOST numpy
         # arrays, not with the saved device shardings — a checkpoint
@@ -244,24 +360,39 @@ def load_checkpoint(
         "rng": tree.get("rng"),
         "gen_ema": tree.get("gen_ema"),
         "aug_p": tree.get("aug_p"),
+        "rt_ema": tree.get("rt_ema"),
         "iter": meta["iter"],
         "im_count": meta["im_count"],
         "step": meta["step"],
         "epoch": meta["epoch"],
         "alpha": meta["alpha"],
         "model": meta.get("model"),
+        "train_config": meta.get("train_config"),
     }
 
 
 def restore_train_state(
-    path: str, template_state: TrainState
+    path: str,
+    template_state: TrainState,
+    config=None,
+    allow_config_mismatch: bool = False,
 ) -> tuple[TrainState, Optional[float]]:
     """Exact resume: full state for ours; params-only (fresh opt) for .pth —
     mirroring what the reference CAN restore (train.py:90-100) while our
-    native format restores everything."""
+    native format restores everything.
+
+    When ``config`` is given and the checkpoint recorded a trajectory
+    snapshot, a mismatch in any trajectory-affecting knob raises (or warns,
+    with ``allow_config_mismatch``) — see ``check_resume_config``.
+    """
     import jax.numpy as jnp
 
     loaded = load_checkpoint(path, template_state)
+    check_resume_config(
+        {"train_config": loaded.get("train_config")},
+        config,
+        allow_mismatch=allow_config_mismatch,
+    )
     gen_ema = template_state.gen_ema
     if gen_ema is not None:
         # EMA-enabled run: adopt the checkpoint's shadow, or (resuming from
@@ -278,11 +409,18 @@ def restore_train_state(
         # the adapted probability.  Resuming from a pre-ADA/.pth checkpoint
         # keeps the template's config-seeded initial p instead.
         aug_p = jnp.float32(np.asarray(loaded["aug_p"]))
+    rt_ema = template_state.rt_ema
+    if rt_ema is not None and loaded.get("rt_ema") is not None:
+        # Continue the controller's smoothed r_t; checkpoints written before
+        # the EMA existed keep the template's 0.0 (it re-converges within
+        # ~1/(1-ada_rt_beta) iterations).
+        rt_ema = jnp.float32(np.asarray(loaded["rt_ema"]))
     state = template_state.replace(
         gen_params=loaded["gen_params"],
         critic_params=loaded["critic_params"],
         gen_ema=gen_ema,
         aug_p=aug_p,
+        rt_ema=rt_ema,
         iters=jnp.int32(loaded["iter"]),
         im_count=jnp.int32(loaded["im_count"]),
         stage=loaded["step"],

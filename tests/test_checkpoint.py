@@ -168,3 +168,67 @@ def test_train_loop_rotates_checkpoints(tmp_path):
     periodic = [e for e in entries if e.startswith("chk-")]
     assert len(periodic) == 1, entries
     assert "FINAL" in entries
+
+
+def test_resume_config_guard(tmp_path):
+    """Resuming with changed trajectory knobs raises; the unchanged config
+    resumes exactly as before; allow_config_mismatch downgrades to warning;
+    pre-guard checkpoints (no snapshot) load unchecked."""
+    config = small_config(critic_repeats=2)
+    gen, critic, state = build(config)
+    path = save_checkpoint(
+        str(tmp_path), state, alpha=0.5, train_config=config
+    )
+
+    # unchanged config: loads fine
+    _, _, template = build(config)
+    restored, alpha = restore_train_state(path, template, config=config)
+    assert alpha == pytest.approx(0.5)
+
+    # changed critic_repeats: the batch-exact resume position would be
+    # silently wrong -> hard error naming the knob
+    changed = small_config(critic_repeats=1)
+    _, _, template2 = build(changed)
+    with pytest.raises(ValueError, match="critic_repeats"):
+        restore_train_state(path, template2, config=changed)
+
+    # explicit override: warns and proceeds
+    restored2, _ = restore_train_state(
+        path, template2, config=changed, allow_config_mismatch=True
+    )
+    assert int(restored2.iters) == int(state.iters)
+
+    # checkpoint without a snapshot (pre-guard format): unchecked
+    old = save_checkpoint(str(tmp_path), state, alpha=None, name="old")
+    restore_train_state(old, template2, config=changed)
+
+
+def test_train_loop_resume_guard_end_to_end(tmp_path):
+    """The real train() path refuses a -c resume under a changed seed."""
+    from byogan_tpu.data.prep import prepare_pyramid
+    from byogan_tpu.data.synthetic import write_synthetic_dataset
+    from byogan_tpu.train.loop import train
+
+    data = str(tmp_path / "data")
+    write_synthetic_dataset(data, n_images=8, size=8, seed=0)
+    prepare_pyramid(data, 4, 8)
+    kw = dict(
+        data=data,
+        batch_progression=(4, 4),
+        epoch_progression=(1, 1),
+        checkpoint_step=100,
+        display_step=100,
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+    )
+    train(small_config(**kw), max_iters=2)
+    ckpt = latest_checkpoint(str(tmp_path / "ck"))
+    assert ckpt is not None
+    with pytest.raises(ValueError, match="seed"):
+        train(small_config(seed=123, **kw), checkpoint=ckpt, max_iters=3)
+    # the matching config resumes, and --force-resume semantics proceed
+    train(small_config(**kw), checkpoint=ckpt, max_iters=3)
+    train(
+        small_config(seed=123, **kw), checkpoint=ckpt, max_iters=3,
+        allow_config_mismatch=True,
+    )
