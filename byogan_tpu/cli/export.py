@@ -18,9 +18,15 @@ import argparse
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="Export checkpoint to .pth")
+    parser = argparse.ArgumentParser(
+        description="Export a checkpoint: reference-loadable .pth (default) "
+        "or a self-contained StableHLO serving module (--stablehlo)"
+    )
     parser.add_argument("checkpoint", help="byogan_tpu checkpoint directory")
-    parser.add_argument("output", help="output .pth path")
+    parser.add_argument(
+        "output", help="output path (.pth, or the StableHLO blob with "
+        "--stablehlo; a .json sidecar lands next to it)"
+    )
     parser.add_argument(
         "--ema", action="store_true",
         help="export the EMA generator weights into the .pth 'gen' slot "
@@ -46,6 +52,12 @@ def main(argv=None):
         "module constant)",
     )
     parser.add_argument(
+        "-t", "--truncation", type=float, default=0.75,
+        help="--stablehlo: the TRAINING z truncation (config.noise_trunc) — "
+        "used to compute the baked mean w where the model was trained; set "
+        "it when the checkpoint's run used a non-default noise_trunc",
+    )
+    parser.add_argument(
         "--platforms", default="cpu,tpu",
         help="--stablehlo: comma-separated lowering targets",
     )
@@ -65,7 +77,10 @@ def main(argv=None):
             dtype=args.dtype,
             use_ema=args.ema,
             truncation_psi=args.psi,
-            platforms=tuple(p for p in args.platforms.split(",") if p),
+            truncation=args.truncation,
+            platforms=tuple(
+                p.strip() for p in args.platforms.split(",") if p.strip()
+            ),
         )
         print(
             f"exported {args.checkpoint} -> {args.output} "

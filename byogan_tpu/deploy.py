@@ -147,8 +147,13 @@ def export_stablehlo(
 class ExportedSampler:
     """Serve from a ``export_stablehlo`` blob — no checkpoint, no model code.
 
+    Latents should come from the TRAINING distribution — a truncated
+    normal at ``meta["train_truncation"]`` (framework invariant: wider z
+    probes latents the model never saw and measurably degrades samples;
+    benchmarks/RESULTS.md round 2).  ``sample_z`` draws them correctly:
+
     >>> s = ExportedSampler("gen.hlo")
-    >>> frames = s(np.random.randn(s.meta["batch"], s.meta["z_dim"]), seed=7)
+    >>> frames = s(s.sample_z(seed=3), seed=7)
     """
 
     def __init__(self, path: str):
@@ -165,9 +170,33 @@ class ExportedSampler:
             self.meta = {}
         self._call = jax.jit(self._exported.call)
 
+    def sample_z(self, seed: int = 0) -> np.ndarray:
+        """One traced batch of latents from the TRAINING distribution
+        (truncated normal at ``meta["train_truncation"]``, shape
+        ``in_shape``) — the z distribution the module's weights were
+        trained and mean-w-centered on."""
+        import jax
+
+        from byogan_tpu.core.random import truncated_noise
+
+        batch, z_dim = self.in_shape
+        trunc = float(self.meta.get("train_truncation", 0.75))
+        return np.asarray(
+            truncated_noise(jax.random.PRNGKey(seed), batch, z_dim, trunc),
+            np.float32,
+        )
+
     def __call__(self, z: np.ndarray, seed: int = 0) -> np.ndarray:
         import jax.numpy as jnp
 
+        z = np.asarray(z)
+        if tuple(z.shape) != self.in_shape:
+            raise ValueError(
+                f"z has shape {tuple(z.shape)} but the module was traced at "
+                f"(batch, z_dim) = {self.in_shape} (see the .json sidecar; "
+                "jax.export modules are fixed-shape — re-export with "
+                "--batch to change it)"
+            )
         return np.asarray(
             self._call(jnp.asarray(z, jnp.float32), jnp.int32(seed))
         )

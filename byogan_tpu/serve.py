@@ -231,25 +231,31 @@ class Sampler:
         latent set and FINE stages (>= ``crossover``) by an independent one
         — classic StyleGAN style mixing, via the generator's per-stage
         ``style`` injection (models/generator.py).  ``truncation_psi``
-        applies to both sets when set.  Each distinct (n, crossover) pair
-        compiles its own variant (cached)."""
+        applies to both sets when set.
+
+        Compilation is bounded like ``sample_batches``: the mix program is
+        compiled at the constructor ``batch`` size, ONE variant per
+        ``crossover`` — requests of any ``n`` tile that batch (ragged tails
+        padded, never recompiled), so a long-lived serving process fed
+        varying sizes holds at most ``steps + 1`` executables."""
         if not 0 <= crossover <= self.steps:
             raise ValueError(
                 f"crossover must be in [0, {self.steps}], got {crossover}"
             )
-        key_fn = self._mix_cache.get((n, crossover))
+        key_fn = self._mix_cache.get(crossover)
         if key_fn is None:
             gen, steps, alpha = self._gen, self.steps, self.alpha
+            batch = self.batch
             compute_dtype = self._compute_dtype
             get_w_mean, psi = self._ensure_w_mean, self.truncation_psi
 
             def mix(params, key):
                 ka, kb, kn = jax.random.split(key, 3)
-                noise = synthesis_noise(kn, n, steps, dtype=compute_dtype)
+                noise = synthesis_noise(kn, batch, steps, dtype=compute_dtype)
 
                 def to_w(k):
                     z = truncated_noise(
-                        k, n, self.z_dim, self.truncation, compute_dtype
+                        k, batch, self.z_dim, self.truncation, compute_dtype
                     )
                     w = gen.apply(params, z, method="map_latent")
                     if psi is not None:
@@ -269,8 +275,15 @@ class Sampler:
                 img32 = img.astype(jnp.float32)
                 return jnp.clip(img32 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
-            key_fn = self._mix_cache[(n, crossover)] = jax.jit(mix)
-        return np.asarray(key_fn(self._params, self._next_key()))
+            key_fn = self._mix_cache[crossover] = jax.jit(mix)
+        out = []
+        produced = 0
+        while produced < n:
+            frames = np.asarray(key_fn(self._params, self._next_key()))
+            take = min(self.batch, n - produced)
+            out.append(frames[:take])
+            produced += take
+        return np.concatenate(out, axis=0)
 
     def sample_batches(self, n: int) -> Iterator[np.ndarray]:
         """Yield uint8 NHWC batches (device-quantized) until n produced;

@@ -142,3 +142,49 @@ def test_export_ema_requires_ema_weights(ckpt, tmp_path):
             path, str(tmp_path / "x.hlo"), batch=2, use_ema=True,
             platforms=("cpu",),
         )
+
+
+def test_exported_sampler_validates_z_shape(ckpt, tmp_path):
+    """A batch/z_dim mismatch must be a clear ValueError naming the traced
+    shape, not an opaque jax.export calling-convention failure."""
+    path, _ = ckpt
+    out = str(tmp_path / "gen.hlo")
+    export_stablehlo(path, out, batch=4, dtype="float32", platforms=("cpu",))
+    s = ExportedSampler(out)
+    with pytest.raises(ValueError, match=r"\(4, 32\)"):
+        s(np.zeros((3, 32), np.float32))
+    with pytest.raises(ValueError, match="traced"):
+        s(np.zeros((4, 16), np.float32))
+
+
+def test_exported_sampler_sample_z_matches_training_distribution(ckpt, tmp_path):
+    """sample_z draws the traced batch from the TRAINING truncated-normal
+    (meta train_truncation) — the z distribution callers should use."""
+    path, _ = ckpt
+    out = str(tmp_path / "gen.hlo")
+    export_stablehlo(
+        path, out, batch=8, dtype="float32", truncation=0.5,
+        platforms=("cpu",),
+    )
+    s = ExportedSampler(out)
+    assert s.meta["train_truncation"] == 0.5
+    z = s.sample_z(seed=11)
+    assert z.shape == s.in_shape and z.dtype == np.float32
+    assert np.abs(z).max() <= 0.5 + 1e-6  # truncated at train_truncation
+    # deterministic per seed, usable directly
+    np.testing.assert_array_equal(z, s.sample_z(seed=11))
+    frames = s(z, seed=1)
+    assert frames.shape[0] == 8
+
+
+def test_export_cli_truncation_and_platform_strip(ckpt, tmp_path):
+    """--truncation reaches the sidecar; --platforms tolerates spaces."""
+    path, _ = ckpt
+    out = str(tmp_path / "cli_t.hlo")
+    from byogan_tpu.cli.export import main
+
+    main([path, out, "--stablehlo", "--batch", "2", "--dtype", "float32",
+          "--platforms", " cpu ,", "-t", "0.6", "--psi", "0.7"])
+    meta = json.load(open(out + ".json"))
+    assert meta["train_truncation"] == 0.6
+    assert meta["platforms"] == ["cpu"]

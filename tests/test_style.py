@@ -128,3 +128,17 @@ def test_style_mix_cli(ckpt, tmp_path):
         w, h = im.size
     # (rows+1) x (cols+1) cells of 8px + 2px padding everywhere
     assert (w, h) == (4 * 10 + 2, 3 * 10 + 2)
+
+
+def test_style_mix_compilation_bounded(ckpt):
+    """Varying request sizes must NOT compile new executables: the mix
+    program is compiled at the constructor batch, one variant per crossover
+    (pad-and-tile, like sample_batches) — a long-lived server fed varying n
+    previously leaked one executable per (n, crossover) pair."""
+    s = Sampler(ckpt, batch=4, dtype="float32", seed=5)
+    a = s.style_mix(2, crossover=1)
+    b = s.style_mix(7, crossover=1)  # > batch: tiles two device calls
+    assert a.shape[0] == 2 and b.shape[0] == 7
+    assert list(s._mix_cache.keys()) == [1]
+    s.style_mix(3, crossover=0)
+    assert sorted(s._mix_cache.keys()) == [0, 1]
