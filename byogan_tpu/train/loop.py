@@ -127,16 +127,22 @@ def train(
     checkpoint: Optional[str] = None,
     max_iters: Optional[int] = None,
     mesh=None,
+    allow_config_mismatch: bool = False,
 ) -> TrainState:
     """Run the full progressive schedule (reference train.py:15 entrypoint).
 
     ``checkpoint`` may be our orbax dir or a reference ``.pth``.
     ``max_iters`` caps total iterations (tests/benchmarks).
     ``mesh``: optional jax.sharding.Mesh for multi-chip; see parallel/.
+    ``allow_config_mismatch`` downgrades the resume trajectory-config guard
+    (checkpoint.check_resume_config) from error to warning.
     SIGTERM/SIGINT checkpoint-and-exit cleanly (``_graceful_stop``).
     """
     with _graceful_stop() as stop_requested:
-        return _train(config, checkpoint, max_iters, mesh, stop_requested)
+        return _train(
+            config, checkpoint, max_iters, mesh, stop_requested,
+            allow_config_mismatch,
+        )
 
 
 def _train(
@@ -145,6 +151,7 @@ def _train(
     max_iters: Optional[int],
     mesh,
     stop_requested: list,
+    allow_config_mismatch: bool = False,
 ) -> TrainState:
     if config.data is None:
         raise ValueError("config.data must point at a prepared dataset")
@@ -161,7 +168,10 @@ def _train(
     alpha_saved: Optional[float] = None
     last_stage = None
     if checkpoint is not None:
-        state, alpha_saved = restore_train_state(checkpoint, state)
+        state, alpha_saved = restore_train_state(
+            checkpoint, state, config=config,
+            allow_config_mismatch=allow_config_mismatch,
+        )
         last_stage = state.stage
 
     if mesh is None and (config.data_axis > 1 or config.model_axis > 1):
@@ -184,7 +194,16 @@ def _train(
                 "config now rather than crashing mid-run at that stage"
             )
         state = shard_train_state(state, mesh)
-        print(f"mesh: {dict(mesh.shape)}")
+        if jax.process_index() == 0:
+            print(f"mesh: {dict(mesh.shape)}")
+
+    # Multi-host IO discipline: DEVICE work (train/eval/SWD steps) is SPMD —
+    # every process must execute it — but HOST artifacts must be written
+    # exactly once.  Sample grids, metrics.jsonl, and checkpoint pruning are
+    # gated to process 0; checkpoint saves are coordinated (all processes
+    # call orbax together — required for sharded leaves — and process 0
+    # writes the meta; see checkpoint.save_checkpoint).
+    is_primary = jax.process_index() == 0
 
     # Fixed noise grid to visualize progress (train.py:83: 25 z's, trunc .75).
     show_z = truncated_noise(
@@ -196,7 +215,12 @@ def _train(
 
     logger = MetricsLogger(
         config.refresh_stat_step,
-        jsonl_path=os.path.join(config.output_dir, "metrics.jsonl"),
+        jsonl_path=(
+            os.path.join(config.output_dir, "metrics.jsonl")
+            if is_primary
+            else None  # non-primary: no jsonl append, no console spam
+        ),
+        print_fn=print if is_primary else (lambda *a, **k: None),
     )
 
     step_cache: Dict[tuple, object] = {}
@@ -243,7 +267,8 @@ def _train(
         logger.close()
         st = state.replace(epoch=epoch)
         path = save_checkpoint(
-            config.checkpoint_dir, st, alpha_for_ckpt, model_spec=spec
+            config.checkpoint_dir, st, alpha_for_ckpt, model_spec=spec,
+            train_config=config,
         )
         if stop_requested:
             print(f"preemption checkpoint saved: {path}")
@@ -274,7 +299,17 @@ def _train(
 
         resume_mid_stage = last_stage is not None and steps == last_stage
         if not resume_mid_stage:
-            state = state.replace(im_count=jnp.int32(0))  # train.py:108
+            zero = jnp.int32(0)  # train.py:108
+            if mesh is not None:
+                # Keep the counter on the GLOBAL mesh: a process-local zero
+                # inside an otherwise global-sharded state is a cross-mesh
+                # jit error on multi-host runs.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                zero = jax.device_put(
+                    np.int32(0), NamedSharding(mesh, PartitionSpec())
+                )
+            state = state.replace(im_count=zero)
         state = state.replace(stage=steps)
         # im_count is tracked host-side (it advances deterministically by
         # critic_repeats*batch per iteration) so the hot loop never blocks on
@@ -290,7 +325,8 @@ def _train(
         resume_epoch = iters_done // n_batches if resume_mid_stage else 0
         resume_skip = iters_done % n_batches if resume_mid_stage else 0
 
-        print(f"STARTING STEP #{steps}")
+        if is_primary:
+            print(f"STARTING STEP #{steps}")
 
         for epoch in range(stage_epochs):
             if resume_mid_stage and epoch < resume_epoch:
@@ -389,6 +425,8 @@ def _train(
                         extras["rt"] = metrics["real_sign"]
                     if config.use_aug:
                         extras["aug_p"] = metrics["aug_p"]
+                    if "rt_ema" in metrics:  # ADA controller's smoothed r_t
+                        extras["rt_ema"] = metrics["rt_ema"]
                     pending_log = (
                         total_iters, epoch, steps, batch,
                         jnp.stack(list(c_hist)).mean(),
@@ -400,6 +438,7 @@ def _train(
                     _save_sample_grid(
                         gen, config, state, show_z, steps, gen_fade,
                         alpha_for_ckpt, total_iters, eval_cache,
+                        write=is_primary,
                     )
                 if (
                     config.eval_step > 0
@@ -412,12 +451,14 @@ def _train(
                 if total_iters > 0 and total_iters % config.checkpoint_step == 0:
                     save_checkpoint(
                         config.checkpoint_dir, state.replace(epoch=epoch),
-                        alpha_for_ckpt, model_spec=spec,
+                        alpha_for_ckpt, model_spec=spec, train_config=config,
                     )
-                    if config.max_checkpoints > 0:
+                    if config.max_checkpoints > 0 and is_primary:
                         # Opt-in rotation: prune AFTER the new save landed,
                         # so a crash mid-save never leaves fewer than
                         # max_checkpoints resumable periodic checkpoints.
+                        # Process 0 only (the save itself barriers, so no
+                        # process is still reading the pruned dirs).
                         prune_checkpoints(
                             config.checkpoint_dir, config.max_checkpoints
                         )
@@ -435,14 +476,16 @@ def _train(
     if not stop_requested:
         _save_sample_grid(
             gen, config, state, show_z, state.stage, False, None,
-            total_iters, eval_cache, filename="s-final",
+            total_iters, eval_cache, filename="s-final", write=is_primary,
         )
     save_checkpoint(
-        config.checkpoint_dir, state, None, name="FINAL", model_spec=spec
+        config.checkpoint_dir, state, None, name="FINAL", model_spec=spec,
+        train_config=config,
     )
     flush_pending()
     logger.close()
-    print("TRAINING IS FINISHED - MODEL SAVED!")
+    if is_primary:
+        print("TRAINING IS FINISHED - MODEL SAVED!")
     return state
 
 
@@ -471,18 +514,32 @@ def _save_sample_grid(
     iters: int,
     eval_cache: Dict[tuple, object],
     filename: Optional[str] = None,
+    write: bool = True,
 ) -> None:
     """Reference display path (train.py:238-245): clamp to [0,1], 5x5 grid,
-    matplotlib title 'Iteration {iters}', file ``output/s-{iters}.png``."""
+    matplotlib title 'Iteration {iters}', file ``output/s-{iters}.png``.
+
+    Multi-host: the synthesis forward is SPMD (params live on the global
+    mesh — every process must execute it) but only process 0 passes
+    ``write=True`` and encodes the PNG.  The small host-side inputs
+    (show_z, rng key, alpha) cross into the jit as numpy, which jax treats
+    as the same-on-every-process replicated value.
+    """
     key = (steps, fade)
     if key not in eval_cache:
         eval_cache[key] = make_eval_step(gen, config, steps=steps, fade=fade)
     examples = eval_cache[key](
         state.gen_params,
-        show_z,
-        jax.random.fold_in(jax.random.PRNGKey(config.seed + 13), iters),
-        jnp.float32(0.0 if alpha is None else alpha),
+        np.asarray(show_z),
+        np.asarray(
+            jax.random.fold_in(jax.random.PRNGKey(config.seed + 13), iters)
+        ),
+        np.float32(0.0 if alpha is None else alpha),
     )
+    # Replicated output: every process holds the full value; only the
+    # primary encodes.
+    if not write:
+        return
     imgs = np.clip(np.asarray(examples), 0.0, 1.0)
     display_image(
         imgs,
@@ -514,6 +571,13 @@ def _log_swd_eval(
     shadow is enabled, scores it too (``swd_ema``) — that is what sampling
     surfaces serve.  Results land in metrics.jsonl as ``{"kind": "eval"}``
     records; with ``eval_step = 0`` (default) none of this runs.
+
+    Multi-host: the synthesis forward is SPMD (global params — all
+    processes execute it); its replicated output is then pulled to HOST
+    numpy, so the SWD scoring itself runs process-locally against the
+    process's own (identical) real-image cache — no cross-process
+    collectives, identical scores everywhere.  The logger writes on
+    process 0 only (its jsonl handle exists only there).
     """
     from byogan_tpu.eval.swd import sliced_wasserstein_distance
 
@@ -550,10 +614,10 @@ def _log_swd_eval(
         eval_cache[skey] = synth
     synth = eval_cache[skey]
 
-    synth_key = jax.random.fold_in(
+    synth_key = np.asarray(jax.random.fold_in(
         jax.random.PRNGKey(config.seed + 131071), iters
-    )
-    alpha_arr = jnp.float32(0.0 if alpha is None else alpha)
+    ))
+    alpha_arr = np.float32(0.0 if alpha is None else alpha)
     swd_key = jax.random.fold_in(
         jax.random.PRNGKey(config.seed + 524287), iters
     )
@@ -563,7 +627,9 @@ def _log_swd_eval(
         targets.append(("swd_ema", state.gen_ema))
     values = {}
     for name, params in targets:
-        fake = synth(params, synth_key, alpha_arr)
+        # Host hop: the synth output is replicated (every process holds the
+        # full value); scoring on numpy keeps the SWD local to each process.
+        fake = np.asarray(synth(params, synth_key, alpha_arr))
         per_level = sliced_wasserstein_distance(
             real, fake, swd_key, patches_per_image=64, min_size=min_size
         )
