@@ -13,6 +13,92 @@ import os
 import numpy as np
 
 
+def _soft_disk(xx, yy, cx, cy, rx, ry, sharp):
+    """Anti-aliased ellipse mask in [0,1] via a sigmoid of the signed
+    normalized distance (soft edges keep the structure learnable — a hard
+    1px edge at 128px is pure high-frequency noise to an early generator)."""
+    d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
+    return 1.0 / (1.0 + np.exp(np.clip(sharp * (d - 1.0), -60.0, 60.0)))
+
+
+def write_structured_dataset(
+    datapath: str, n_images: int = 256, size: int = 128, seed: int = 0
+) -> str:
+    """Write a STRUCTURED synthetic corpus: face-like parameterized geometry
+    with consistent layout statistics (VERDICT r3 #2 — the corpus where
+    "resolving structure" at >=128px is actually learnable).
+
+    Every image shares the same layout grammar — vertical background
+    gradient, one large centered head ellipse, two dark eyes on the upper
+    head half, a mouth bar below center, a hair cap — while per-image
+    parameters (colors, positions, radii) jitter inside narrow
+    distributions.  Unlike ``write_synthetic_dataset``'s free-floating
+    circles over sinusoids, the patch statistics here are spatially
+    CONSISTENT across the corpus, so a generator that learns the layout
+    materially drops the SWD at the 64/128px stages and the structure is
+    visible in a 5x5 sample grid.
+    """
+    from PIL import Image
+
+    os.makedirs(datapath, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    sharp = 14.0
+    for i in range(n_images):
+        # background: vertical gradient between two muted colors
+        top = rng.random(3).astype(np.float32) * 0.5 + 0.15
+        bottom = rng.random(3).astype(np.float32) * 0.5 + 0.35
+        img = top + (bottom - top) * yy[..., None]
+
+        # head: large ellipse, near-centered, skin-ish palette
+        hx = 0.5 + rng.normal(0, 0.015)
+        hy = 0.54 + rng.normal(0, 0.015)
+        hrx = 0.27 + rng.normal(0, 0.02)
+        hry = 0.33 + rng.normal(0, 0.02)
+        skin = np.array(
+            [0.75 + rng.normal(0, 0.08),
+             0.55 + rng.normal(0, 0.08),
+             0.42 + rng.normal(0, 0.08)], np.float32,
+        )
+        m = _soft_disk(xx, yy, hx, hy, hrx, hry, sharp)[..., None]
+        img = img * (1 - m) + skin * m
+
+        # hair cap: darker ellipse clipped to the upper head
+        hair = np.array(
+            [0.12 + rng.random() * 0.25,
+             0.08 + rng.random() * 0.2,
+             0.05 + rng.random() * 0.2], np.float32,
+        )
+        mh = _soft_disk(xx, yy, hx, hy - 0.16, hrx * 1.05, hry * 0.62, sharp)
+        mh = (mh * (yy < hy - 0.12))[..., None]
+        img = img * (1 - mh) + hair * mh
+
+        # eyes: two dark ellipses, symmetric about the head axis
+        eye_dx = 0.105 + rng.normal(0, 0.01)
+        eye_y = hy - 0.055 + rng.normal(0, 0.008)
+        eye_r = 0.030 + rng.normal(0, 0.004)
+        eye_col = np.array([0.08, 0.08, 0.1], np.float32) + rng.random() * 0.1
+        for sx in (-1.0, 1.0):
+            me = _soft_disk(
+                xx, yy, hx + sx * eye_dx, eye_y, eye_r, eye_r * 1.2, 40.0
+            )[..., None]
+            img = img * (1 - me) + eye_col * me
+
+        # mouth: wide flat ellipse below center
+        mw = 0.085 + rng.normal(0, 0.012)
+        mouth_col = np.array(
+            [0.55 + rng.normal(0, 0.08), 0.15, 0.18], np.float32
+        )
+        mm = _soft_disk(
+            xx, yy, hx, hy + 0.16 + rng.normal(0, 0.01), mw, 0.028, 40.0
+        )[..., None]
+        img = img * (1 - mm) + mouth_col * mm
+
+        u8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        Image.fromarray(u8).save(os.path.join(datapath, f"orig-{i:04d}.png"))
+    return datapath
+
+
 def write_synthetic_dataset(
     datapath: str, n_images: int = 32, size: int = 64, seed: int = 0
 ) -> str:

@@ -69,16 +69,87 @@ def generated_stats(checkpoint: str, n: int = 64):
     return channel_stats(x01)
 
 
-def prepare_data(out_root: str, n_images: int, size: int, seed: int) -> str:
-    """Synthetic corpus + prep pyramid under out_root/data (idempotent)."""
+def prepare_data(
+    out_root: str, n_images: int, size: int, seed: int,
+    structured: bool = False,
+) -> str:
+    """Synthetic corpus + prep pyramid under out_root/data (idempotent).
+
+    ``structured=True`` uses the face-like parameterized-geometry corpus
+    (data/synthetic.write_structured_dataset) whose consistent layout makes
+    high-resolution structure actually learnable."""
     from byogan_tpu.data.prep import prepare_pyramid
-    from byogan_tpu.data.synthetic import write_synthetic_dataset
+    from byogan_tpu.data.synthetic import (
+        write_structured_dataset,
+        write_synthetic_dataset,
+    )
 
     data = os.path.join(out_root, "data")
     if not os.path.isdir(os.path.join(data, "prepared")):
-        write_synthetic_dataset(data, n_images=n_images, size=size, seed=seed)
+        writer = write_structured_dataset if structured else write_synthetic_dataset
+        writer(data, n_images=n_images, size=size, seed=seed)
         prepare_pyramid(data, 4, size)
     return data
+
+
+def write_compare_grids(
+    out_root: str,
+    data: str,
+    n_stages: int,
+    checkpoint: str,
+    n: int = 25,
+    use_ema: bool = True,
+    truncation: float = 0.75,
+) -> dict:
+    """Side-by-side visual evidence: a 5x5 grid of REAL corpus images next
+    to a 5x5 grid of (EMA) generator samples from ``checkpoint``, both
+    rendered through the same [0,1] mapping (generated [-1,1] output mapped
+    (x+1)/2 — NOT the reference's raw-range save that crushes the negative
+    half).  Writes real_grid.png, gen_grid.png, compare.png to out_root.
+    """
+    import jax
+    import numpy as np
+
+    from byogan_tpu.core.grids import make_grid, save_image
+    from byogan_tpu.core.random import synthesis_noise, truncated_noise
+    from byogan_tpu.data.pipeline import StageDataset
+    from byogan_tpu.models.factory import (
+        ModelSpec,
+        build_generator,
+        z_dim_from_params,
+    )
+    from byogan_tpu.train.checkpoint import load_checkpoint
+
+    side = int(np.sqrt(n))
+    ds = StageDataset(data, n_stages)
+    real = ds.get_batch_uint8(np.arange(min(n, len(ds.files))))
+    real01 = real.astype(np.float32) / 255.0
+
+    save = load_checkpoint(checkpoint)
+    params = save["gen_params"]
+    used_ema = False
+    if use_ema and save.get("gen_ema") is not None:
+        params, used_ema = save["gen_ema"], True
+    gen = build_generator(ModelSpec.from_dict(save.get("model")))
+    kz, kn = jax.random.split(jax.random.PRNGKey(777))
+    z = truncated_noise(kz, n, z_dim_from_params(params), truncation)
+    noise = synthesis_noise(kn, n, save["step"])
+    x = gen.apply(
+        {"params": params}, z, noise, steps=save["step"], alpha=None
+    )
+    gen01 = np.clip((np.asarray(x, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    real_grid = make_grid(real01, nrow=side)
+    gen_grid = make_grid(gen01, nrow=side)
+    save_image(real_grid, os.path.join(out_root, "real_grid.png"))
+    save_image(gen_grid, os.path.join(out_root, "gen_grid.png"))
+    # one combined frame: real | white gutter | generated
+    gutter = np.ones((real_grid.shape[0], 8, 3), np.float32)
+    save_image(
+        np.concatenate([real_grid, gutter, gen_grid], axis=1),
+        os.path.join(out_root, "compare.png"),
+    )
+    return {"ema": used_ema, "n": int(real01.shape[0])}
 
 
 def resolve_run_state(out_root: str, allow_resume: bool):
@@ -124,6 +195,8 @@ def run_and_verify(
     include_first_loss: bool = False,
     expect_evals: bool = True,
     swd_stage_min: Optional[int] = None,
+    swd_min_drop: float = 0.0,
+    swd_min_evals: int = 3,
     require_final_stage: bool = False,
     plot_title: Optional[str] = None,
     pass_message: str = "CONVERGENCE RUN PASSED",
@@ -134,8 +207,12 @@ def run_and_verify(
     ``summary_head``: keys placed before the shared summary fields (e.g.
     {"schedule": ...} or {"loss": "wgan-gp"}).  ``swd_stage_min``: assert the
     SWD improves WITHIN every stage >= this (and record the per-stage
-    first/best readings).  ``require_final_stage``: assert the run reached
-    stage ``n_stages``.
+    first/best readings).  ``swd_min_drop``: required FRACTIONAL in-stage
+    improvement ((first-best)/first) for those stages — 0.0 keeps the old
+    best<first check, which at a noisy eval cadence can pass on jitter
+    alone (VERDICT r3 weak #4); the structured proof demands a real margin.
+    ``swd_min_evals``: minimum SWD readings per asserted stage.
+    ``require_final_stage``: assert the run reached stage ``n_stages``.
     """
     import numpy as np
 
@@ -184,19 +261,29 @@ def run_and_verify(
             if stage < swd_stage_min:
                 continue
             recs = swd_by_stage[stage]
-            assert len(recs) >= 3, f"stage {stage}: too few SWD readings"
+            assert len(recs) >= swd_min_evals, (
+                f"stage {stage}: only {len(recs)} SWD readings "
+                f"(need >= {swd_min_evals})"
+            )
             first = min(recs[0]["swd"], recs[0].get("swd_ema", recs[0]["swd"]))
             best = min(
                 min(r["swd"], r.get("swd_ema", r["swd"])) for r in recs[1:]
             )
+            drop = (first - best) / first if first > 0 else 0.0
             hires_improvement[stage] = {
                 "first": round(first, 2),
                 "best_later": round(best, 2),
+                "drop_frac": round(drop, 4),
                 "n_evals": len(recs),
             }
             assert best < first, (
                 f"stage {stage} SWD never improved within the stage: "
                 f"first={first} best_later={best}"
+            )
+            assert drop >= swd_min_drop, (
+                f"stage {stage} SWD dropped only {drop:.1%} in-stage "
+                f"(required >= {swd_min_drop:.0%}): first={first} "
+                f"best_later={best}"
             )
 
     ds = StageDataset(config.data, n_stages)
