@@ -84,15 +84,24 @@ def test_train_cli_reads_reference_config(tmp_path, monkeypatch):
     )
     captured = {}
 
-    def fake_train(config, checkpoint=None, max_iters=None):
+    def fake_train(
+        config, checkpoint=None, max_iters=None, allow_config_mismatch=False
+    ):
         captured["config"] = config
         captured["checkpoint"] = checkpoint
+        captured["allow_mismatch"] = allow_config_mismatch
 
     monkeypatch.setattr(train_cli, "train", fake_train)
     train_cli.main(["tiny", "--config-file", str(cfg), "-c", "some.pth"])
     assert captured["config"].learning_rate == 0.002
     assert captured["config"].data == "/nonexistent"
     assert captured["checkpoint"] == "some.pth"
+    assert captured["allow_mismatch"] is False  # guard on unless --force-resume
+
+    train_cli.main([
+        "tiny", "--config-file", str(cfg), "-c", "some.pth", "--force-resume",
+    ])
+    assert captured["allow_mismatch"] is True
 
 
 def test_export_cli_requires_reference_shape(small_ckpt, tmp_path):
