@@ -52,10 +52,15 @@ def main(retried: bool = False) -> None:
     # extension; default 0 = headline: one w for all layers).
     # BENCH_AUG_P=p / BENCH_ADA_TARGET=t measure discriminator augmentation
     # (opt-in extension; default 0/0 = headline: no augmentation).
+    # BENCH_PLR=w measures path-length regularization (opt-in extension;
+    # default 0 = headline: no generator-side regularizer), with
+    # BENCH_PLR_INTERVAL controlling its lazy cadence (default 8).
     r1_interval = int(os.environ.get("BENCH_R1_INTERVAL", 1))
     style_mix_prob = float(os.environ.get("BENCH_MIX", 0.0))
     aug_p = float(os.environ.get("BENCH_AUG_P", 0.0))
     ada_target = float(os.environ.get("BENCH_ADA_TARGET", 0.0))
+    plr_weight = float(os.environ.get("BENCH_PLR", 0.0))
+    plr_interval = int(os.environ.get("BENCH_PLR_INTERVAL", 8))
     config = TrainConfig(
         compute_dtype=dtype,
         ema_beta=float(os.environ.get("BENCH_EMA", 0.0)),
@@ -63,6 +68,8 @@ def main(retried: bool = False) -> None:
         style_mix_prob=style_mix_prob,
         aug_p=aug_p,
         ada_target=ada_target,
+        plr_weight=plr_weight,
+        plr_interval=plr_interval,
     )
     model_dtype = None if dtype == "float32" else jnp.dtype(dtype)
     gen = Generator(dtype=model_dtype)
@@ -143,6 +150,11 @@ def main(retried: bool = False) -> None:
                 ),
                 **({"aug_p": aug_p} if aug_p > 0 else {}),
                 **({"ada_target": ada_target} if ada_target > 0 else {}),
+                **(
+                    {"plr_weight": plr_weight, "plr_interval": plr_interval}
+                    if plr_weight > 0
+                    else {}
+                ),
             }
         )
     )

@@ -139,6 +139,11 @@ def shard_train_state(state, mesh: Mesh, tp_min_features: int = _TP_MIN_FEATURES
             if state.rt_ema is not None
             else None
         ),
+        pl_ema=(
+            jax.device_put(state.pl_ema, replicated)
+            if state.pl_ema is not None
+            else None
+        ),
     )
 
 

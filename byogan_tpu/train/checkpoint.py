@@ -52,6 +52,8 @@ _TRAJECTORY_KEYS = (
     "aug_p",
     "ada_target",
     "ada_speed",
+    "plr_weight",
+    "plr_interval",
     "compute_dtype",
 )
 
@@ -155,6 +157,8 @@ def save_checkpoint(
         tree["aug_p"] = state.aug_p
     if state.rt_ema is not None:
         tree["rt_ema"] = state.rt_ema
+    if state.pl_ema is not None:
+        tree["pl_ema"] = state.pl_ema
     _checkpointer().save(path, tree, force=True)  # orbax write is atomic
     meta = {
         "iter": int(state.iters),
@@ -167,6 +171,7 @@ def save_checkpoint(
         "ema": state.gen_ema is not None,
         "ada": state.aug_p is not None,
         "ada_rt": state.rt_ema is not None,
+        "plr": state.pl_ema is not None,
         "train_config": (
             trajectory_snapshot(train_config)
             if train_config is not None
@@ -291,6 +296,7 @@ def load_checkpoint(
     has_ema = bool(meta.get("ema", False))
     has_ada = bool(meta.get("ada", False))
     has_ada_rt = bool(meta.get("ada_rt", False))
+    has_plr = bool(meta.get("plr", False))
 
     template = None
     if template_state is not None:
@@ -319,6 +325,12 @@ def load_checkpoint(
             template["rt_ema"] = (
                 template_state.rt_ema
                 if template_state.rt_ema is not None
+                else np.float32(0.0)
+            )
+        if has_plr:
+            template["pl_ema"] = (
+                template_state.pl_ema
+                if template_state.pl_ema is not None
                 else np.float32(0.0)
             )
     if template is not None:
@@ -361,6 +373,7 @@ def load_checkpoint(
         "gen_ema": tree.get("gen_ema"),
         "aug_p": tree.get("aug_p"),
         "rt_ema": tree.get("rt_ema"),
+        "pl_ema": tree.get("pl_ema"),
         "iter": meta["iter"],
         "im_count": meta["im_count"],
         "step": meta["step"],
@@ -415,12 +428,19 @@ def restore_train_state(
         # the EMA existed keep the template's 0.0 (it re-converges within
         # ~1/(1-ada_rt_beta) iterations).
         rt_ema = jnp.float32(np.asarray(loaded["rt_ema"]))
+    pl_ema = template_state.pl_ema
+    if pl_ema is not None and loaded.get("pl_ema") is not None:
+        # Continue PLR's running path-length mean; checkpoints written
+        # before PLR existed keep the template's 0.0 (the paper's init —
+        # it re-tracks within ~1/plr_decay penalized iterations).
+        pl_ema = jnp.float32(np.asarray(loaded["pl_ema"]))
     state = template_state.replace(
         gen_params=loaded["gen_params"],
         critic_params=loaded["critic_params"],
         gen_ema=gen_ema,
         aug_p=aug_p,
         rt_ema=rt_ema,
+        pl_ema=pl_ema,
         iters=jnp.int32(loaded["iter"]),
         im_count=jnp.int32(loaded["im_count"]),
         stage=loaded["step"],

@@ -122,6 +122,24 @@ class TrainConfig:
     # raw makes p jitter (benchmarks/ada round 3); the EMA — one dynamic f32
     # scalar in TrainState — smooths the input without changing the
     # endpoint.  0.0 = steer on the per-iteration reading directly.
+    plr_weight: float = 0.0  # path-length regularization (opt-in; StyleGAN2
+    # §3.2 "path length regularization", the companion of lazy R1 on the
+    # GENERATOR side): penalize mean((||J_w^T y|| - a)^2) where J_w is the
+    # synthesis Jacobian at w, y a unit-variance random image direction, and
+    # a a running mean of the observed path lengths (TrainState.pl_ema) —
+    # pushes the w -> image map toward uniform scaling, the StyleGAN2
+    # conditioning trick behind its smoother latent space.  0 = off (the
+    # reference behavior; the compiled step is untouched).  Paper weight: 2.
+    plr_interval: int = 8  # apply the PLR penalty (a second-order path like
+    # R1's) only every N generator iterations, weight scaled by N — always
+    # lazy, as in the paper (G reg interval).  lax.cond inside the one
+    # compiled step; no extra jit buckets.
+    plr_decay: float = 0.01  # pl_ema <- pl_ema + decay*(mean(pl) - pl_ema)
+    # per penalized iteration (paper 0.01) — one dynamic f32 scalar, no
+    # retrace.
+    plr_batch_shrink: int = 2  # compute the penalty on batch//shrink fresh
+    # latents (paper 2): the second-order path costs a backward through the
+    # synthesis stack, and a quarter/half batch estimates pl_mean fine.
     show_noise_count: int = 25  # fixed eval grid, 5x5 (train.py:83)
     show_noise_trunc: float = 0.75
     noise_trunc: float = 0.75  # latent truncation during training (train.py:139)
@@ -145,6 +163,14 @@ class TrainConfig:
             raise ValueError(
                 f"remat_progression has {len(self.remat_progression)} flags "
                 f"for {len(self.epoch_progression)} stages"
+            )
+        if self.plr_weight > 0.0 and (
+            self.plr_interval < 1 or self.plr_batch_shrink < 1
+        ):
+            raise ValueError(
+                "plr_interval and plr_batch_shrink must be >= 1 when "
+                f"plr_weight > 0 (got {self.plr_interval}, "
+                f"{self.plr_batch_shrink})"
             )
 
     @property
@@ -226,6 +252,12 @@ def config_from_mapping(section: Mapping[str, str]) -> TrainConfig:
         ada_target=float(get("ada_target", defaults.ada_target)),
         ada_speed=int(get("ada_speed", defaults.ada_speed)),
         ada_rt_beta=float(get("ada_rt_beta", defaults.ada_rt_beta)),
+        plr_weight=float(get("plr_weight", defaults.plr_weight)),
+        plr_interval=int(get("plr_interval", defaults.plr_interval)),
+        plr_decay=float(get("plr_decay", defaults.plr_decay)),
+        plr_batch_shrink=int(
+            get("plr_batch_shrink", defaults.plr_batch_shrink)
+        ),
         eval_step=int(get("eval_step", defaults.eval_step)),
         eval_images=int(get("eval_images", defaults.eval_images)),
     )

@@ -427,6 +427,8 @@ def _train(
                         extras["aug_p"] = metrics["aug_p"]
                     if "rt_ema" in metrics:  # ADA controller's smoothed r_t
                         extras["rt_ema"] = metrics["rt_ema"]
+                    if "pl_ema" in metrics:  # PLR running path-length mean
+                        extras["pl_ema"] = metrics["pl_ema"]
                     pending_log = (
                         total_iters, epoch, steps, batch,
                         jnp.stack(list(c_hist)).mean(),

@@ -43,6 +43,41 @@ def gen_logistic_loss(crit_fake_pred: jax.Array) -> jax.Array:
     return jnp.mean(softplus(-crit_fake_pred))
 
 
+def gen_path_length_penalty(
+    synth_fn: Callable[[jax.Array], jax.Array],
+    w: jax.Array,
+    pl_ema: jax.Array,
+    y_key: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """StyleGAN2 path-length regularization term (Karras et al. 2020 §3.2;
+    opt-in extension — the reference has no generator-side regularizer).
+
+    ``pl_i = ||J_w^T y||_2`` per sample, estimated with one random image
+    direction ``y ~ N(0, I) / sqrt(H*W)`` and one VJP through the synthesis
+    network (the transpose-Jacobian product IS a backward pass — the same
+    second-order machinery as R1's penalty, on the generator side).
+
+    Returns ``(penalty, pl_mean)`` where ``penalty = mean((pl - pl_ema)^2)``
+    and ``pl_mean`` feeds the caller's running-mean update of ``pl_ema``.
+    The generator's output depends on its own sample's ``w`` row only, so
+    the gradient of the summed projection separates per sample exactly.
+    """
+
+    def projection(w_: jax.Array) -> jax.Array:
+        img = synth_fn(w_).astype(jnp.float32)
+        h, wd = img.shape[1], img.shape[2]
+        y = jax.random.normal(y_key, img.shape, jnp.float32) / jnp.sqrt(
+            float(h * wd)
+        )
+        return jnp.sum(img * y)
+
+    grads = jax.grad(projection)(w).astype(jnp.float32)
+    pl = jnp.sqrt(jnp.sum(jnp.square(grads), axis=-1) + 1e-8)
+    pl_mean = jnp.mean(pl)
+    penalty = jnp.mean(jnp.square(pl - pl_ema))
+    return penalty, pl_mean
+
+
 # -- Critic losses (reference gan.py:357-412) -------------------------------
 
 

@@ -47,6 +47,10 @@ class TrainState(struct.PyTreeNode):
     # the controller's smoothed input (config.ada_rt_beta); dynamic like
     # aug_p so updating it never retraces.
     rt_ema: Any = None
+    # Running mean of observed path lengths for PLR (None unless
+    # config.plr_weight > 0) — the penalty's moving target `a` (StyleGAN2
+    # §3.2); dynamic f32 scalar, updated only on penalized iterations.
+    pl_ema: Any = None
     # host-side (static) progress bookkeeping, carried for checkpointing:
     stage: int = struct.field(pytree_node=False, default=1)
     epoch: int = struct.field(pytree_node=False, default=0)
@@ -126,6 +130,7 @@ def create_train_state(
         gen_ema=gen_ema,
         aug_p=jnp.float32(config.aug_p) if config.use_aug else None,
         rt_ema=jnp.float32(0.0) if config.ada_target > 0 else None,
+        pl_ema=jnp.float32(0.0) if config.plr_weight > 0 else None,
         stage=1,
         epoch=0,
     )

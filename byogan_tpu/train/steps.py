@@ -115,6 +115,13 @@ def make_train_step(
         )
     if do_aug:
         from byogan_tpu.ops.augment import augment_batch
+    # Path-length regularization (opt-in extension, losses.py): static gate,
+    # so plr_weight == 0 (the default) emits the reference-faithful program
+    # untouched.  Always lazy (lax.cond on the iteration counter, like lazy
+    # R1) with the weight scaled by the interval, per the paper.
+    do_plr = config.plr_weight > 0.0
+    plr_interval = config.plr_interval
+    plr_batch = max(1, batch // config.plr_batch_shrink)
 
     def synthesize_mixed(gp, z_key, noise, alpha):
         z1_key, z2_key, mix_key = jax.random.split(z_key, 3)
@@ -282,7 +289,67 @@ def make_train_step(
                 return losses.gen_logistic_loss(pred)
             return losses.gen_wgan_loss(pred)
 
-        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.gen_params)
+        pl_ema = state.pl_ema
+        if do_plr:
+            if pl_ema is None:
+                raise ValueError(
+                    "plr_weight > 0 but TrainState carries no pl_ema — "
+                    "create the state with the same config"
+                )
+            rng, plr_z_key, plr_n_key, plr_y_key = jax.random.split(rng, 4)
+
+            def penalized(gp):
+                zp = truncated_noise(
+                    plr_z_key, plr_batch, config.noise_size,
+                    config.noise_trunc, compute_dtype,
+                )
+                w = gen.apply({"params": gp}, zp, method="map_latent")
+                noise_p = synthesis_noise(
+                    plr_n_key, plr_batch, steps, dtype=compute_dtype
+                )
+
+                def synth(w_):
+                    return maybe_remat(
+                        lambda wv: gen.apply(
+                            {"params": gp}, None, noise_p, steps=steps,
+                            alpha=alpha_g, style=[wv] * steps,
+                        )
+                    )(w_)
+
+                pen, pl_mean = losses.gen_path_length_penalty(
+                    synth, w, pl_ema, plr_y_key
+                )
+                # f32 on both cond branches: the penalty is f32 while the
+                # bf16 main loss would otherwise make the branch output
+                # dtypes diverge (lax.cond requires identical types).
+                loss = g_loss_fn(gp).astype(jnp.float32) + (
+                    config.plr_weight * plr_interval
+                ) * pen
+                # pl_ema's running-mean update belongs to the penalized
+                # branch only (paper: tracked where observed); aux is not
+                # differentiated (has_aux), so carrying it here is free.
+                new_ema = pl_ema + config.plr_decay * (pl_mean - pl_ema)
+                return loss, {
+                    "pl_penalty": pen.astype(jnp.float32),
+                    "pl_ema": new_ema.astype(jnp.float32),
+                }
+
+            def plain(gp):
+                return g_loss_fn(gp).astype(jnp.float32), {
+                    "pl_penalty": jnp.float32(0.0),
+                    "pl_ema": pl_ema.astype(jnp.float32),
+                }
+
+            (g_loss, g_aux), g_grads = jax.lax.cond(
+                state.iters % plr_interval == 0,
+                jax.value_and_grad(penalized, has_aux=True),
+                jax.value_and_grad(plain, has_aux=True),
+                state.gen_params,
+            )
+            pl_ema = g_aux["pl_ema"]
+        else:
+            g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.gen_params)
+            g_aux = {}
         g_updates, g_opt_state = gen_tx.update(
             g_grads, state.gen_opt_state, state.gen_params
         )
@@ -332,6 +399,7 @@ def make_train_step(
             gen_ema=gen_ema,
             aug_p=aug_p,
             rt_ema=rt_ema,
+            pl_ema=pl_ema,
         )
         metrics = {
             "c_loss": c_loss.astype(jnp.float32),
@@ -342,6 +410,9 @@ def make_train_step(
             metrics["aug_p"] = aug_p
         if do_ada:
             metrics["rt_ema"] = rt_ema
+        if do_plr:
+            metrics["pl_penalty"] = g_aux["pl_penalty"]
+            metrics["pl_ema"] = g_aux["pl_ema"]
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
