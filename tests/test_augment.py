@@ -135,6 +135,7 @@ def test_wgan_with_fixed_aug_p_runs():
     assert float(state.aug_p) == pytest.approx(0.3)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_preserves_aug_p(tmp_path):
     from byogan_tpu.train.checkpoint import (
         load_checkpoint,
@@ -263,6 +264,7 @@ def test_ada_rt_ema_smooths_controller_input():
     assert abs(ema_host) <= 1 - 0.8 ** 5 + 1e-6
 
 
+@pytest.mark.slow
 def test_ada_rt_ema_checkpoint_roundtrip(tmp_path):
     """rt_ema rides checkpoints; pre-EMA ADA checkpoints (no rt_ema key)
     restore with the template's fresh 0.0."""

@@ -143,6 +143,7 @@ def test_prune_checkpoints_keeps_newest_and_final(tmp_path):
     assert load_checkpoint(str(tmp_path / "chk-40"))["iter"] == 40
 
 
+@pytest.mark.slow
 def test_train_loop_rotates_checkpoints(tmp_path):
     """max_checkpoints=1 in the real loop: at most one periodic checkpoint
     on disk at the end, plus FINAL."""
@@ -203,6 +204,7 @@ def test_resume_config_guard(tmp_path):
     restore_train_state(old, template2, config=changed)
 
 
+@pytest.mark.slow
 def test_train_loop_resume_guard_end_to_end(tmp_path):
     """The real train() path refuses a -c resume under a changed seed."""
     from byogan_tpu.data.prep import prepare_pyramid

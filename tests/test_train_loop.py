@@ -45,6 +45,7 @@ def tiny_config(data_root, tmp_path, **kw):
     return TrainConfig(**defaults)
 
 
+@pytest.mark.slow
 def test_full_progressive_run(data_root, tmp_path):
     config = tiny_config(data_root, tmp_path)
     state = train(config)
@@ -59,6 +60,7 @@ def test_full_progressive_run(data_root, tmp_path):
     assert latest_checkpoint(config.checkpoint_dir) is not None
 
 
+@pytest.mark.slow
 def test_resume_continues(data_root, tmp_path):
     config = tiny_config(data_root, tmp_path, checkpoint_step=4)
     state = train(config, max_iters=6)
@@ -74,6 +76,7 @@ def test_resume_continues(data_root, tmp_path):
     assert state2.stage == 2
 
 
+@pytest.mark.slow
 def test_resume_trajectory_identical(data_root, tmp_path):
     """Straight run vs interrupt+resume MID-EPOCH: identical metrics.jsonl
     trajectory and identical final parameters — the 'exact resume' claim
@@ -141,6 +144,7 @@ def test_train_with_data_parallel_mesh(data_root, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(data_root, tmp_path):
     """Same config + seed -> identical loss trajectory (explicit PRNG +
     seeded data order; the reference has no determinism story)."""
@@ -178,6 +182,7 @@ def test_graceful_stop_handler():
     assert _signal.getsignal(_signal.SIGTERM) is before
 
 
+@pytest.mark.slow
 def test_stop_requested_checkpoints_and_resumes(data_root, tmp_path):
     """A REAL mid-run SIGTERM (timer thread) stops the loop early with a
     checkpoint, and resume completes the run batch-exactly."""

@@ -130,6 +130,7 @@ def test_r1_penalty_matches_torch_reference_gradients():
     np.testing.assert_allclose(float(got), want, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_donated_step_matches_undonated():
     """Buffer donation must not change results (SURVEY §5: guard donated-
     buffer reuse) — run the same sequence with and without donation."""
@@ -149,6 +150,7 @@ def test_donated_step_matches_undonated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_lazy_r1_penalizes_every_nth_iteration():
     """r1_interval=N: the penalty fires only when iters % N == 0, and the
     penalized iteration is numerically identical to an eager step whose
@@ -268,6 +270,7 @@ def test_style_mixing_noop_at_stage1_matches_plain():
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+@pytest.mark.slow
 def test_uint8_transport_lane_matches_f32():
     """Feeding the step raw uint8 (device-side normalize) reproduces the f32
     host-normalized step to float rounding (XLA fuses the normalize into an
@@ -324,6 +327,7 @@ def test_lazy_r1_composes_with_style_mixing():
 
 
 @pytest.mark.parametrize("mix", [0.0, 1.0])
+@pytest.mark.slow
 def test_remat_matches_no_remat(mix):
     """jax.checkpoint is semantics-preserving: the remat step equals the
     plain step (same seed, same batch) — with and without style mixing
@@ -354,6 +358,7 @@ def test_remat_matches_no_remat(mix):
         )
 
 
+@pytest.mark.slow
 def test_per_stage_remat_selects_by_stage():
     """remat_progression picks the stage's flag: the stage-2 step built with
     (False, True) remat equals the globally-remat'd stage-2 step bitwise-
