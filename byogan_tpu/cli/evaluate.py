@@ -7,6 +7,12 @@ prepared dataset at the checkpoint's stage resolution, and prints one JSON
 line.  Lower is better; values are only comparable across runs of this
 implementation (see eval/swd.py docstring).
 
+``--metric msssim`` (or ``both``) adds the mode-collapse readout: mean
+pairwise MS-SSIM within the generated set (eval/msssim.py) — near 1.0 means
+the generator emits near-identical images — reported beside the REAL set's
+own score on the same corpus, which is the healthy anchor (a good model's
+diversity approaches the data's).
+
 Truncation defaults to 0.75 — the TRAINING latent distribution (the
 reference trains on truncated z at 0.75, train.py:139, a quirk this repo
 keeps), so by default the score reflects the distribution the model
@@ -45,6 +51,12 @@ def main(argv=None):
     parser.add_argument(
         "--patches", default=128, type=int,
         help="descriptor patches per image per pyramid level",
+    )
+    parser.add_argument(
+        "--metric", default="swd", choices=("swd", "msssim", "both"),
+        help="swd = distribution distance (lower better); msssim = "
+        "mode-collapse diversity readout (generated-set pairwise MS-SSIM, "
+        "reported beside the real set's)",
     )
     parser.add_argument(
         "--seed", default=0, type=int,
@@ -98,24 +110,34 @@ def main(argv=None):
     # uint8 reals to the same [-1,1] training range.
     fake = sampler.sample_float(n)
 
-    result = sliced_wasserstein_distance(
-        real,
-        fake,
-        jax.random.PRNGKey(args.seed),
-        patches_per_image=args.patches,
-        min_size=min(16, resolution),
-    )
-    mean = result.pop(0)
-    print(json.dumps({
-        "metric": "swd_x1e3",
+    want_swd = args.metric in ("swd", "both")
+    out = {
+        "metric": "swd_x1e3" if want_swd else "msssim",
         "resolution": resolution,
         "n_images": n,
         "resampled": resampled,
         "ema": bool(args.ema),
         "truncation": args.truncation,
-        "per_level": {str(k): round(v, 3) for k, v in result.items()},
-        "mean": round(mean, 3),
-    }))
+    }
+    if want_swd:  # stable schema — scripts/artifacts parse these keys
+        result = sliced_wasserstein_distance(
+            real,
+            fake,
+            jax.random.PRNGKey(args.seed),
+            patches_per_image=args.patches,
+            min_size=min(16, resolution),
+        )
+        mean = result.pop(0)
+        out["per_level"] = {str(k): round(v, 3) for k, v in result.items()}
+        out["mean"] = round(mean, 3)
+    if args.metric in ("msssim", "both"):
+        from byogan_tpu.eval.msssim import msssim_diversity
+
+        out["msssim_diversity"] = {
+            "fake": round(float(msssim_diversity(fake)), 4),
+            "real": round(float(msssim_diversity(real)), 4),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

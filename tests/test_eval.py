@@ -191,6 +191,19 @@ def test_evaluate_cli(tiny_run, capsys):
     assert np.isfinite(out["mean"])
 
 
+def test_evaluate_cli_msssim(tiny_run, capsys):
+    """--metric both keeps the SWD schema and adds the mode-collapse
+    readout (generated-set pairwise MS-SSIM beside the real set's)."""
+    from byogan_tpu.cli.evaluate import main
+
+    ckpt, root = tiny_run
+    main([ckpt, root, "-n", "8", "--patches", "8", "--metric", "both"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["metric"] == "swd_x1e3" and np.isfinite(out["mean"])
+    div = out["msssim_diversity"]
+    assert 0.0 <= div["fake"] <= 1.0 and 0.0 <= div["real"] <= 1.0
+
+
 def test_plot_cli(tmp_path):
     """byogan-plot renders metrics.jsonl (dir or file path) to a PNG,
     including the eval subplot when eval records exist."""
