@@ -106,7 +106,32 @@ def main(argv=None):
                              marker="o", ms=3,
                              label=f"SWD x1e3, EMA{label}")
         ax_eval.set_ylabel("SWD x1e3 (lower = better; per-stage scale)")
-        ax_eval.legend(fontsize=8)
+        # MS-SSIM diversity (mode-collapse readout, [0,1]) on a twin axis
+        # when the eval records carry it; real-set anchor dashed.
+        if any(
+            evals and all("msssim" in r for r in evals)
+            for _, _, evals in runs
+        ):
+            ax_div = ax_eval.twinx()
+            for name, _, evals in runs:
+                if not evals or not all("msssim" in r for r in evals):
+                    continue
+                iters = [r["iter"] for r in evals]
+                label = f" ({name})" if len(runs) > 1 else ""
+                ax_div.plot(iters, [r["msssim"] for r in evals],
+                            color="tab:purple", alpha=0.7, ms=2, marker="o",
+                            label=f"MS-SSIM fake{label}")
+                if all("msssim_real" in r for r in evals):
+                    ax_div.plot(iters, [r["msssim_real"] for r in evals],
+                                color="tab:purple", alpha=0.5, ls="--",
+                                label=f"MS-SSIM real{label}")
+            ax_div.set_ylim(0.0, 1.05)
+            ax_div.set_ylabel(
+                "MS-SSIM diversity (1.0 = collapse)", color="tab:purple"
+            )
+            ax_div.tick_params(axis="y", labelcolor="tab:purple")
+            ax_div.legend(fontsize=8, loc="upper right")
+        ax_eval.legend(fontsize=8, loc="upper left")
         ax_eval.grid(alpha=0.25)
 
     axes[-1][0].set_xlabel("iteration")

@@ -571,8 +571,12 @@ def _log_swd_eval(
     real images of the current stage with eval/swd.py, at the stage's
     current fade alpha (same semantics as the sample grid).  When the EMA
     shadow is enabled, scores it too (``swd_ema``) — that is what sampling
-    surfaces serve.  Results land in metrics.jsonl as ``{"kind": "eval"}``
-    records; with ``eval_step = 0`` (default) none of this runs.
+    surfaces serve.  Each record also carries the MS-SSIM mode-collapse
+    readout (eval/msssim.py): ``msssim`` / ``msssim_ema`` are the generated
+    set's pairwise diversity (→1.0 on collapse), ``msssim_real`` the real
+    set's anchor on the same corpus.  Results land in metrics.jsonl as
+    ``{"kind": "eval"}`` records; with ``eval_step = 0`` (default) none of
+    this runs.
 
     Multi-host: the synthesis forward is SPMD (global params — all
     processes execute it); its replicated output is then pulled to HOST
@@ -581,6 +585,7 @@ def _log_swd_eval(
     collectives, identical scores everywhere.  The logger writes on
     process 0 only (its jsonl handle exists only there).
     """
+    from byogan_tpu.eval.msssim import msssim_diversity
     from byogan_tpu.eval.swd import sliced_wasserstein_distance
 
     n = min(config.eval_images, len(dataset))
@@ -636,4 +641,12 @@ def _log_swd_eval(
             real, fake, swd_key, patches_per_image=64, min_size=min_size
         )
         values[name] = round(per_level[0], 3)
+        if n >= 2:  # mode-collapse readout (eval/msssim.py): →1.0 on collapse
+            div = msssim_diversity(fake)
+            values["msssim" + name[len("swd"):]] = round(float(div), 4)
+    if n >= 2:
+        mkey = ("msssim_real", steps)
+        if mkey not in eval_cache:  # the healthy anchor, once per stage
+            eval_cache[mkey] = round(float(msssim_diversity(real)), 4)
+        values["msssim_real"] = eval_cache[mkey]
     logger.log_eval(iters, steps, values)

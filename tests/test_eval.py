@@ -176,6 +176,9 @@ def test_periodic_swd_during_training(tmp_path):
         assert np.isfinite(r["swd"]) and r["swd"] >= 0
         assert np.isfinite(r["swd_ema"]) and r["swd_ema"] >= 0
         assert "c_loss" not in r  # eval records don't pollute the loss schema
+        # mode-collapse readout rides every eval record (live, EMA, anchor)
+        for k in ("msssim", "msssim_ema", "msssim_real"):
+            assert 0.0 <= r[k] <= 1.0
 
 
 def test_evaluate_cli(tiny_run, capsys):
@@ -228,3 +231,8 @@ def test_plot_cli(tmp_path):
     # directory form resolves to its metrics.jsonl
     plot_main([str(tmp_path), "-o", str(tmp_path / "c2.png")])
     assert (tmp_path / "c2.png").exists()
+    # eval records carrying the MS-SSIM readout grow a diversity twin axis
+    recs[-1].update({"msssim": 0.4, "msssim_ema": 0.38, "msssim_real": 0.3})
+    m.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    plot_main([str(m), "-o", str(tmp_path / "c3.png")])
+    assert (tmp_path / "c3.png").stat().st_size > 10_000
