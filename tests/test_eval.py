@@ -207,6 +207,26 @@ def test_evaluate_cli_msssim(tiny_run, capsys):
     assert 0.0 <= div["fake"] <= 1.0 and 0.0 <= div["real"] <= 1.0
 
 
+def test_msssim_detects_latent_collapse(tiny_run, capsys):
+    """Squeezing the latent truncation toward 0 makes every sample come
+    from (nearly) the same z — a synthetic mode collapse the diversity
+    readout must flag with a clearly higher score than the healthy model's."""
+    from byogan_tpu.cli.evaluate import main
+
+    ckpt, root = tiny_run
+    base = [ckpt, root, "-n", "8", "--patches", "8", "--metric", "msssim"]
+    main(base + ["-t", "1e-3"])
+    collapsed = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["msssim_diversity"]["fake"]
+    main(base)
+    healthy = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["msssim_diversity"]["fake"]
+    assert collapsed > healthy + 0.1
+    assert collapsed > 0.9
+
+
 def test_plot_cli(tmp_path):
     """byogan-plot renders metrics.jsonl (dir or file path) to a PNG,
     including the eval subplot when eval records exist."""
