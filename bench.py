@@ -105,12 +105,54 @@ def main(retried: bool = False) -> None:
     # XLA's own FLOP count for the compiled step — the honest device-side
     # denominator (the vs_baseline divisor is a host-CPU torch run; see
     # module docstring).  v5e bf16 peak: 197 TFLOPS/chip.
-    step_flops = None
-    try:
-        cost = step_fn.lower(state, real).compile().cost_analysis()
+    #
+    # Lazy regularizers (r1_interval > 1 / PLR) compile as lax.cond, and
+    # XLA's cost model counts BOTH branches every step even though only one
+    # executes — the naive count inflates MFU (VERDICT r4 weak #3).  For
+    # those configurations the honest per-step number is amortized from
+    # exact cond-free lowers of each branch (steps.py force_lazy hook):
+    # plain + (penalized - plain)/interval.  The raw both-branch count is
+    # still emitted as step_flops_counted, with flops_method/flops_note
+    # making the measurement self-describing.
+    lazy = {}
+    if r1_interval > 1:
+        lazy["r1"] = r1_interval
+    if plr_weight > 0:
+        lazy["plr"] = plr_interval
+
+    def flops_of(fn):
+        cost = fn.lower(state, real).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        step_flops = float(cost["flops"])
+        return float(cost["flops"])
+
+    step_flops = flops_counted = flops_note = None
+    flops_method = "xla_cost_analysis"
+    try:
+        flops_counted = flops_of(step_fn)
+        if not lazy:
+            step_flops = flops_counted
+        else:
+            def variant(force):
+                return make_train_step(
+                    gen, critic, config,
+                    steps=stage, batch=batch, fade_in=100.0,
+                    critic_fade=(False,), gen_fade=False,
+                    donate=False, force_lazy=force,
+                )
+
+            base = flops_of(variant({k: False for k in lazy}))
+            step_flops = base
+            for k, interval in lazy.items():
+                eager = flops_of(variant({n: (n == k) for n in lazy}))
+                step_flops += (eager - base) / interval
+            flops_method = "amortized_forced_branches"
+            flops_note = (
+                "lazy lax.cond regularizers active: XLA counts both cond "
+                "branches every step (step_flops_counted); step_flops/mfu "
+                "are amortized from exact cond-free branch programs as "
+                "plain + (penalized - plain)/interval"
+            )
     except Exception:
         pass  # cost analysis is backend-dependent; img/s stands alone
     tflops = (
@@ -136,6 +178,14 @@ def main(retried: bool = False) -> None:
                 "achieved_tflops": tflops,
                 "mfu": round(tflops / 197.0, 3) if tflops else None,
                 "step_flops": step_flops,
+                "flops_method": flops_method if step_flops else None,
+                **({"flops_note": flops_note} if flops_note else {}),
+                **(
+                    {"step_flops_counted": flops_counted}
+                    if flops_counted is not None
+                    and flops_counted != step_flops
+                    else {}
+                ),
                 # True when the first attempt crashed and this number comes
                 # from the retry — a real regression must not masquerade as
                 # a clean run.

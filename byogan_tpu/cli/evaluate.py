@@ -97,8 +97,9 @@ def main(argv=None):
     if resampled:
         print(
             f"warning: dataset has {len(dataset)} images < n={n}; sampling "
-            "real images WITH replacement — scores are not comparable to "
-            "runs on larger datasets",
+            "real images WITH replacement — SWD scores are not comparable "
+            "to runs on larger datasets (the MS-SSIM real anchor is "
+            "computed on the unique images only)",
             file=sys.stderr,
         )
     idx = rng.choice(len(dataset), size=n, replace=resampled)
@@ -133,9 +134,19 @@ def main(argv=None):
     if args.metric in ("msssim", "both"):
         from byogan_tpu.eval.msssim import msssim_diversity
 
+        # The real anchor must never contain duplicate images: a duplicated
+        # pair scores MS-SSIM 1.0 and inflates the "healthy" diversity
+        # baseline the fake score is judged against.  When the dataset is
+        # smaller than -n (the with-replacement SWD path above), anchor on
+        # ALL unique images instead.
+        real_anchor = (
+            dataset.get_batch_uint8(np.arange(len(dataset)))
+            if resampled else real
+        )
         out["msssim_diversity"] = {
             "fake": round(float(msssim_diversity(fake)), 4),
-            "real": round(float(msssim_diversity(real)), 4),
+            "real": round(float(msssim_diversity(real_anchor)), 4),
+            "real_n": int(len(real_anchor)),
         }
     print(json.dumps(out))
 

@@ -121,6 +121,12 @@ def main(argv=None):
                 ax_div.plot(iters, [r["msssim"] for r in evals],
                             color="tab:purple", alpha=0.7, ms=2, marker="o",
                             label=f"MS-SSIM fake{label}")
+                if all("msssim_ema" in r for r in evals):
+                    # the EMA shadow's diversity — the weights sampling
+                    # actually serves (mirrors the SWD/SWD-EMA pairing)
+                    ax_div.plot(iters, [r["msssim_ema"] for r in evals],
+                                color="orchid", alpha=0.7, ms=3, marker="^",
+                                lw=1.0, label=f"MS-SSIM fake, EMA{label}")
                 if all("msssim_real" in r for r in evals):
                     ax_div.plot(iters, [r["msssim_real"] for r in evals],
                                 color="tab:purple", alpha=0.5, ls="--",

@@ -470,14 +470,17 @@ def export_torch_checkpoint(
         generator_params_to_torch,
     )
 
+    # np.array(copy=True): np.asarray on a jax array yields a NON-writable
+    # view, and torch.from_numpy on it warns (and would alias device memory
+    # semantics torch doesn't honor).  Copy before handing to torch.
     gen_sd = {
-        k: torch.from_numpy(np.asarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in generator_params_to_torch(
             jax.tree.map(np.asarray, state.gen_params)
         ).items()
     }
     critic_sd = {
-        k: torch.from_numpy(np.asarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in critic_params_to_torch(
             jax.tree.map(np.asarray, state.critic_params)
         ).items()

@@ -593,7 +593,15 @@ def _log_swd_eval(
     if rkey not in eval_cache:
         from byogan_tpu.core.grids import uint8_to_training_range
 
-        u8 = dataset.get_batch_uint8(np.arange(n))
+        # Seeded random subset WITHOUT replacement (not the first n items):
+        # on corpora with correlated ordering (consecutive frames,
+        # class-sorted) a prefix slice biases both the SWD reference set and
+        # the MS-SSIM real anchor relative to the shuffled CLI path
+        # (ADVICE r4).  Seeded by config.seed, so every process draws the
+        # identical cache (multi-host invariant above).
+        idx_rng = np.random.default_rng(config.seed + 8191)
+        idx = np.sort(idx_rng.choice(len(dataset), size=n, replace=False))
+        u8 = dataset.get_batch_uint8(idx)
         eval_cache[rkey] = jnp.asarray(uint8_to_training_range(u8))
     real = eval_cache[rkey]
 

@@ -67,6 +67,7 @@ def make_train_step(
     critic_fade: Tuple[bool, ...],
     gen_fade: bool,
     donate: bool = True,
+    force_lazy: Optional[Dict[str, bool]] = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the fused step for one compile bucket.
 
@@ -77,6 +78,15 @@ def make_train_step(
       critic_fade: per-critic-repeat fade flags (True = blend path); length
         must equal ``config.critic_repeats``.
       gen_fade: fade flag for the generator phase.
+      force_lazy: FLOP-ACCOUNTING hook (bench.py) — never used by training.
+        XLA's ``cost_analysis`` counts BOTH ``lax.cond`` branches of the lazy
+        regularizers even though only one executes per step, which inflates
+        the reported FLOPs/MFU (benchmarks/RESULTS.md).  Mapping each lazy
+        feature name (``"r1"``, ``"plr"``) to True (penalized branch) or
+        False (plain branch) replaces its cond with a direct call to that
+        branch, yielding an exact cond-free program whose FLOPs CAN be
+        counted; bench.py amortizes ``plain + (penalized - plain)/interval``.
+        ``None`` (the default, and for unmentioned features) keeps the cond.
     """
     if len(critic_fade) != config.critic_repeats:
         raise ValueError("critic_fade must have one flag per critic repeat")
@@ -122,6 +132,14 @@ def make_train_step(
     do_plr = config.plr_weight > 0.0
     plr_interval = config.plr_interval
     plr_batch = max(1, batch // config.plr_batch_shrink)
+
+    def lazy_cond(which, pred, true_fn, false_fn, operand):
+        # The lazy-regularizer cond, unless bench.py's force_lazy accounting
+        # hook pins this feature to one branch (docstring above).
+        forced = None if force_lazy is None else force_lazy.get(which)
+        if forced is None:
+            return jax.lax.cond(pred, true_fn, false_fn, operand)
+        return (true_fn if forced else false_fn)(operand)
 
     def synthesize_mixed(gp, z_key, noise, alpha):
         z1_key, z2_key, mix_key = jax.random.split(z_key, 3)
@@ -234,7 +252,8 @@ def make_train_step(
                         make_crit(cp), real_r, fake
                     )
 
-                (c_loss, c_aux), c_grads = jax.lax.cond(
+                (c_loss, c_aux), c_grads = lazy_cond(
+                    "r1",
                     state.iters % r1_interval == 0,
                     jax.value_and_grad(penalized, has_aux=True),
                     jax.value_and_grad(plain, has_aux=True),
@@ -340,7 +359,8 @@ def make_train_step(
                     "pl_ema": pl_ema.astype(jnp.float32),
                 }
 
-            (g_loss, g_aux), g_grads = jax.lax.cond(
+            (g_loss, g_aux), g_grads = lazy_cond(
+                "plr",
                 state.iters % plr_interval == 0,
                 jax.value_and_grad(penalized, has_aux=True),
                 jax.value_and_grad(plain, has_aux=True),

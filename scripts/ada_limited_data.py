@@ -1,0 +1,180 @@
+"""ADA in its MOTIVATING regime: limited data, held-out quality (VERDICT r4
+next-round #2).
+
+benchmarks/ada/ (scripts/ada_overfit_demo.py) proved the CONTROLLER: r_t
+tracks its target, the EMA stabilizes p, augmentation suppresses critic
+overfit — but every arm there trained AND scored on the same deliberately-
+overfit 32-image corpus, so no artifact showed the paper's actual claim
+(Karras et al. 2020: with limited data, adaptive discriminator augmentation
+improves HELD-OUT quality).  This experiment measures exactly that:
+
+  * corpus: ONE structured face corpus (data/synthetic), split disjointly
+    into a 16-image TRAIN set (the limited-data regime) and a 144-image
+    HELD-OUT set;
+  * arms (same seed, same budget, production ``train()``):
+      - baseline  — no augmentation (the reference-faithful path);
+      - fixed_aug — augment_batch at a constant p (ADA paper's ablation);
+      - ada       — the adaptive controller (ada_target);
+  * readout: held-out SWD of every saved checkpoint (the in-loop eval lane
+    scores TRAIN reals and cannot see generalization), plus the generated
+    set's MS-SSIM diversity; the baseline is expected to OVERFIT — its
+    held-out SWD bottoms out and degrades while augmented arms hold on.
+
+The verdict's contract is honest measurement, not a forced win: the script
+asserts mechanics (all arms learn, the controller engages, every score
+finite) and RECORDS the quality comparison in summary.json
+(``conclusion`` + per-arm trajectories + heldout_swd.png), whichever way
+it lands.
+
+Runs on the real chip (full-width model at 32px; ~tens of minutes).
+Usage:  python scripts/ada_limited_data.py [out_root]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from limited_data_common import (  # noqa: E402
+    dump_summary,
+    heldout_swd_trajectory,
+    prepare_split_data,
+    run_arm,
+    write_trajectory_plot,
+)
+
+N_STAGES = 4  # 32px
+SIZE = 4 * 2 ** (N_STAGES - 1)
+N_TRAIN = 16
+N_HELDOUT = 144
+ADA_TARGET = 0.6
+FIXED_P = 0.2
+
+
+def main() -> None:
+    out_root = (
+        sys.argv[1] if len(sys.argv) > 1 else "benchmarks/ada_limited"
+    )
+    os.makedirs(out_root, exist_ok=True)
+
+    from byogan_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    paths = prepare_split_data(
+        out_root, n_train=N_TRAIN, n_heldout=N_HELDOUT, size=SIZE, seed=31
+    )
+
+    # 16 images / batch 8 = 2 batches per epoch.  Stage 4 carries the
+    # overfit window: 1600 iters is ~800 epochs over 16 images — far past
+    # where the critic memorizes them.
+    base_kwargs = dict(
+        batch_progression=(8, 8, 8, 8),
+        epoch_progression=(50, 50, 100, 800),
+        display_step=200,
+        checkpoint_step=200,  # ~11 stage-4 checkpoints -> the trajectory
+        refresh_stat_step=5,
+        eval_step=0,  # the in-loop lane scores TRAIN reals; not this claim
+        seed=23,
+    )
+    arms_cfg = {
+        "baseline": {},
+        "fixed_aug": {"aug_p": FIXED_P},
+        "ada": {"ada_target": ADA_TARGET, "ada_speed": 12000},
+    }
+
+    from byogan_tpu.train.metrics import read_metrics
+
+    trajectories = {}
+    arm_stats = {}
+    for name, extra in arms_cfg.items():
+        info = run_arm(
+            out_root, name, paths["train"], N_STAGES,
+            {**base_kwargs, **extra},
+        )
+        traj = heldout_swd_trajectory(
+            info["checkpoints"], paths["heldout"], n_images=128, seed=97
+        )
+        assert traj, f"{name}: no checkpoints scored"
+        stage4 = traj  # the stage filter already keeps only 32px saves
+        assert all(
+            t["heldout_swd"] > 0 and t["heldout_swd"] < 1e6 for t in traj
+        ), f"{name}: non-finite held-out SWD"
+        trajectories[name] = traj
+        recs = read_metrics(os.path.join(info["output"], "metrics.jsonl"))
+        train_recs = [r for r in recs if "c_loss" in r]
+        arm_stats[name] = {
+            "final_aug_p": train_recs[-1].get("aug_p"),
+            "final_rt_ema": train_recs[-1].get("rt_ema"),
+            "best_heldout_swd": min(t["heldout_swd"] for t in stage4),
+            "final_heldout_swd": traj[-1]["heldout_swd"],
+            "final_msssim_fake": traj[-1]["msssim_fake"],
+        }
+
+    # ---- mechanics (hard asserts) ----
+    assert arm_stats["ada"]["final_aug_p"] is not None and (
+        arm_stats["ada"]["final_aug_p"] > 0.05
+    ), f"ADA controller never engaged: {arm_stats['ada']['final_aug_p']}"
+
+    # ---- the quality comparison (recorded, not forced) ----
+    base = arm_stats["baseline"]
+    overfit_rise = (
+        (base["final_heldout_swd"] - base["best_heldout_swd"])
+        / base["best_heldout_swd"]
+    )
+    ada_vs_base_final = (
+        arm_stats["ada"]["final_heldout_swd"] / base["final_heldout_swd"]
+    )
+    ada_vs_base_best = (
+        arm_stats["ada"]["best_heldout_swd"] / base["best_heldout_swd"]
+    )
+    if ada_vs_base_final < 1.0:
+        conclusion = (
+            f"ADA improves held-out quality in the limited-data regime: "
+            f"final held-out SWD {arm_stats['ada']['final_heldout_swd']} vs "
+            f"baseline {base['final_heldout_swd']} "
+            f"({(1 - ada_vs_base_final):.0%} better); baseline overfit rise "
+            f"off its own best: {overfit_rise:.0%}"
+        )
+    else:
+        conclusion = (
+            f"honest negative: ADA did not beat the baseline's final "
+            f"held-out SWD ({arm_stats['ada']['final_heldout_swd']} vs "
+            f"{base['final_heldout_swd']}); baseline overfit rise "
+            f"{overfit_rise:.0%} — see trajectories for the full picture"
+        )
+
+    write_trajectory_plot(
+        os.path.join(out_root, "heldout_swd.png"),
+        trajectories,
+        key="heldout_swd",
+        title=(
+            f"Held-out SWD, {N_TRAIN}-image train set @{SIZE}px "
+            f"(baseline / fixed p={FIXED_P} / ADA target {ADA_TARGET})"
+        ),
+        ylabel="held-out SWD x1e3 (lower = better)",
+    )
+    summary = {
+        "regime": (
+            f"{N_TRAIN} train / {N_HELDOUT} held-out structured images, "
+            f"4px->{SIZE}px, same seed/budget per arm"
+        ),
+        "conclusion": conclusion,
+        "ada_vs_baseline_final_swd_ratio": round(ada_vs_base_final, 4),
+        "ada_vs_baseline_best_swd_ratio": round(ada_vs_base_best, 4),
+        "baseline_overfit_rise": round(overfit_rise, 4),
+        "arms": arm_stats,
+        "trajectories": trajectories,
+    }
+    dump_summary(
+        out_root, summary,
+        ["conclusion", "ada_vs_baseline_final_swd_ratio",
+         "baseline_overfit_rise"],
+    )
+    print("ADA LIMITED-DATA EXPERIMENT COMPLETE")
+
+
+if __name__ == "__main__":
+    main()
