@@ -642,9 +642,15 @@ def _log_swd_eval(
         targets.append(("swd_ema", state.gen_ema))
     values = {}
     for name, params in targets:
-        # Host hop: the synth output is replicated (every process holds the
-        # full value); scoring on numpy keeps the SWD local to each process.
-        fake = np.asarray(synth(params, synth_key, alpha_arr))
+        fake = synth(params, synth_key, alpha_arr)
+        if jax.process_count() > 1:
+            # Host hop: the synth output is replicated (every process holds
+            # the full value); scoring on numpy keeps the SWD local to each
+            # process.  Single-process runs skip it — at 512px the hop moved
+            # ~200MB to the host and back TWICE (SWD + MS-SSIM re-upload)
+            # per eval over the tunnel; on-device scoring feeds the jitted
+            # SWD/MS-SSIM directly.
+            fake = np.asarray(fake)
         per_level = sliced_wasserstein_distance(
             real, fake, swd_key, patches_per_image=64, min_size=min_size
         )
