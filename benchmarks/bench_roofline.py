@@ -80,11 +80,13 @@ def cost_of(fn, args):
             cost = cost[0]
     except Exception:
         return None, None, None
-    return (
-        cost.get("flops"),
-        cost.get("bytes accessed"),
-        cost.get("optimal_seconds"),
-    )
+    opt_sec = cost.get("optimal_seconds")
+    # The tunneled backend reports garbage (negative) optimal_seconds —
+    # drop it rather than record a nonsense bound; the flop/byte-derived
+    # roofline_ms below is the meaningful bound either way.
+    if opt_sec is not None and opt_sec <= 0:
+        opt_sec = None
+    return (cost.get("flops"), cost.get("bytes accessed"), opt_sec)
 
 
 def main():
