@@ -15,10 +15,14 @@ The reference has no augmentation at all beyond the loader's 50% x-flip
 ``aug_p`` / ``ada_target``, default off — PARITY.md "opt-in extensions").
 
 TPU notes: everything here is elementwise/VPU work with static shapes —
-a handful of masks, one pad+gather (translation) — that XLA fuses into the
-critic's first convolution's input chain; measured cost at the training
-stages is noise-level (benchmarks/RESULTS.md round 3).  No data-dependent
-control flow: "skipped" samples compute the transform and ``where`` it away.
+a handful of masks, one pad+gather (translation).  The translation must
+stay in gather form (take_along_axis): its transpose is then also a
+gather, while the vmap(dynamic_slice) formulation transposes to a
+per-sample scatter that TPU serializes (41.9 ms vs 2.4 ms backward at
+batch 128 @128px — benchmarks/bench_augment.py; the generator phase
+backprops through the augmentation every step).  No data-dependent
+control flow: "skipped" samples compute the transform and ``where`` it
+away.  Measured headline cost: benchmarks/RESULTS.md round 5.
 
 Pipeline order (geometric -> color -> corruption, per ADA Fig. 2 subset):
   x-flip, integer translation (±1/8, zero-pad), brightness (additive
@@ -64,16 +68,21 @@ def augment_batch(key: jax.Array, imgs: jax.Array, p) -> jax.Array:
     imgs = jnp.where(flip, imgs[:, :, ::-1, :], imgs)
 
     # -- integer translation: shifts uniform in [-h//8, h//8], zero-padded --
+    # Lowered as two single-axis take_along_axis gathers, NOT a
+    # vmap(dynamic_slice): the slice form transposes to a per-sample
+    # dynamic_update_slice scatter that TPU serializes — measured 41.9 ms
+    # backward at the headline shape vs 2.4 ms for the gather form, whose
+    # transpose stays gather-shaped (benchmarks/bench_augment.py; the two
+    # lowerings are exactly equal forward).
     pad = max(h // 8, 1)
     t_on = _gate(k_tg, n, p)
     ty = jnp.where(t_on, jax.random.randint(k_ty, (n,), -pad, pad + 1), 0)
     tx = jnp.where(t_on, jax.random.randint(k_tx, (n,), -pad, pad + 1), 0)
     padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-
-    def shift_one(img, oy, ox):
-        return jax.lax.dynamic_slice(img, (pad + oy, pad + ox, 0), (h, w, c))
-
-    imgs = jax.vmap(shift_one)(padded, ty, tx)
+    rows_ix = (pad + ty)[:, None] + jnp.arange(h)[None, :]  # (n, h)
+    cols_ix = (pad + tx)[:, None] + jnp.arange(w)[None, :]  # (n, w)
+    imgs = jnp.take_along_axis(padded, rows_ix[:, :, None, None], axis=1)
+    imgs = jnp.take_along_axis(imgs, cols_ix[:, None, :, None], axis=2)
 
     # -- brightness: x + b, b ~ N(0, std) ------------------------------------
     b = jax.random.normal(k_b, (n, 1, 1, 1)) * _BRIGHTNESS_STD

@@ -45,6 +45,50 @@ def test_p_one_transforms_and_preserves_shape_dtype():
     assert (np.abs(arr) < 1e-6).mean() > 0.03
 
 
+def test_translation_gather_matches_slice_form():
+    """The translation is lowered as take_along_axis gathers because the
+    vmap(dynamic_slice) form transposes to a per-sample scatter TPU
+    serializes (41.9 ms vs 2.4 ms backward at the headline shape,
+    benchmarks/bench_augment.py).  Pin the gather form exactly equal to
+    the naive slice form for every (ty, tx) offset combination."""
+    n, h, w, c = 9, 8, 8, 2
+    pad = max(h // 8, 1)
+    imgs = jax.random.uniform(jax.random.PRNGKey(7), (n, h, w, c))
+    ty = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1])
+    tx = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1])
+    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    rows_ix = (pad + ty)[:, None] + jnp.arange(h)[None, :]
+    cols_ix = (pad + tx)[:, None] + jnp.arange(w)[None, :]
+    got = jnp.take_along_axis(padded, rows_ix[:, :, None, None], axis=1)
+    got = jnp.take_along_axis(got, cols_ix[:, None, :, None], axis=2)
+
+    want = jax.vmap(
+        lambda img, oy, ox: jax.lax.dynamic_slice(
+            img, (pad + oy, pad + ox, 0), (h, w, c)
+        )
+    )(padded, ty, tx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # The adjoints agree too (backward correctness of the gather form).
+    def total(form, x):
+        p = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        if form == "gather":
+            o = jnp.take_along_axis(p, rows_ix[:, :, None, None], axis=1)
+            o = jnp.take_along_axis(o, cols_ix[:, None, :, None], axis=2)
+        else:
+            o = jax.vmap(
+                lambda img, oy, ox: jax.lax.dynamic_slice(
+                    img, (pad + oy, pad + ox, 0), (h, w, c)
+                )
+            )(p, ty, tx)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_gather = np.asarray(jax.grad(lambda x: total("gather", x))(imgs))
+    g_slice = np.asarray(jax.grad(lambda x: total("slice", x))(imgs))
+    np.testing.assert_allclose(g_gather, g_slice, atol=1e-6)
+
+
 def test_differentiable_wrt_images():
     """Generator gradients must flow through the augmentation (the ADA
     mechanism: G is trained through D(aug(G(z))))."""
