@@ -429,6 +429,8 @@ def _train(
                         extras["rt_ema"] = metrics["rt_ema"]
                     if "pl_ema" in metrics:  # PLR running path-length mean
                         extras["pl_ema"] = metrics["pl_ema"]
+                    if "pl_penalty" in metrics:  # last penalized readout
+                        extras["pl_penalty"] = metrics["pl_penalty"]
                     pending_log = (
                         total_iters, epoch, steps, batch,
                         jnp.stack(list(c_hist)).mean(),

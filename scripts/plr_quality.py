@@ -129,8 +129,14 @@ def main() -> None:
         train_recs = [r for r in recs if "c_loss" in r]
         assert train_recs and np.isfinite(train_recs[-1]["g_loss"])
         if name == "plr":
-            pens = [r["pl_penalty"] for r in train_recs if "pl_penalty" in r]
-            assert pens and any(p > 0 for p in pens), "PLR never engaged"
+            # Engagement readout: pl_ema (the running path-length mean) is
+            # carried in every train record and only moves on penalized
+            # iterations — a flat/zero trajectory means the penalty never
+            # ran.  (pl_penalty itself is also logged since round 5.)
+            emas = [r["pl_ema"] for r in train_recs if "pl_ema" in r]
+            assert emas and max(emas) > 0 and min(emas) != max(emas), (
+                "PLR never engaged (pl_ema flat)"
+            )
         results[name] = {
             "w": _invert(info["checkpoints"], targets, w_plus=False),
             "w_plus": _invert(info["checkpoints"], targets, w_plus=True),
