@@ -46,7 +46,10 @@ def to_nhwc(x: "torch.Tensor") -> np.ndarray:
 
 
 def from_nhwc(x: np.ndarray) -> "torch.Tensor":
-    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    # np.array (not ascontiguousarray) so jax-backed non-writable inputs
+    # are always copied — for C=1 the transpose can already be contiguous
+    # and a pass-through would trip torch's non-writable-tensor warning.
+    return torch.from_numpy(np.array(x.transpose(0, 3, 1, 2), order="C"))
 
 
 @pytest.fixture(scope="module")
@@ -241,9 +244,10 @@ def test_reference_strict_loads_our_export(ref_modules):
     params = gen.init(key, z, noise, steps=2)["params"]
 
     # Tensor conversion exactly as export_torch_checkpoint does it
-    # (checkpoint.py) — the raw converter returns numpy.
+    # (checkpoint.py) — the raw converter returns numpy; copy because
+    # jax-backed arrays are non-writable and torch warns on them.
     state_dict = {
-        k: torch.from_numpy(np.asarray(v))
+        k: torch.from_numpy(np.array(v))
         for k, v in generator_params_to_torch(
             params, data_parallel_prefix=False
         ).items()
@@ -255,7 +259,7 @@ def test_reference_strict_loads_our_export(ref_modules):
     ours = gen.apply({"params": params}, z, noise, steps=2, alpha=None)
     with torch.no_grad():
         theirs = ref.forward(
-            torch.from_numpy(np.asarray(z)),
+            torch.from_numpy(np.array(z)),
             noise=[from_nhwc(np.asarray(n)) for n in noise],
             steps=2,
             alpha=None,
