@@ -94,6 +94,21 @@ def main(retried: bool = False) -> None:
     state, metrics = step_fn(state, real)
     float(metrics["c_loss"])
 
+    # With lazy regularizers active, round the timed window UP to a multiple
+    # of the intervals' lcm so it contains exactly k penalized iterations
+    # per feature — otherwise measured dt covers a different penalized-step
+    # count than the amortized step_flops below assumes, biasing mfu either
+    # way depending on where the window lands.
+    lazy_intervals = [i for i in (
+        r1_interval if r1_interval > 1 else 1,
+        plr_interval if plr_weight > 0 else 1,
+    ) if i > 1]
+    if lazy_intervals:
+        import math
+
+        lcm = math.lcm(*lazy_intervals)
+        timed_iters = ((timed_iters + lcm - 1) // lcm) * lcm
+
     t0 = time.perf_counter()
     for _ in range(timed_iters):
         state, metrics = step_fn(state, real)
@@ -141,11 +156,16 @@ def main(retried: bool = False) -> None:
                     donate=False, force_lazy=force,
                 )
 
+            # Accumulate into a local and only publish once EVERY branch
+            # lower succeeded — a transient backend failure mid-loop must
+            # not leave a partial (plain-branch-only) count published under
+            # the xla_cost_analysis label.
             base = flops_of(variant({k: False for k in lazy}))
-            step_flops = base
+            amortized = base
             for k, interval in lazy.items():
                 eager = flops_of(variant({n: (n == k) for n in lazy}))
-                step_flops += (eager - base) / interval
+                amortized += (eager - base) / interval
+            step_flops = amortized
             flops_method = "amortized_forced_branches"
             flops_note = (
                 "lazy lax.cond regularizers active: XLA counts both cond "
@@ -154,7 +174,17 @@ def main(retried: bool = False) -> None:
                 "plain + (penalized - plain)/interval"
             )
     except Exception:
-        pass  # cost analysis is backend-dependent; img/s stands alone
+        # Cost analysis is backend-dependent; img/s stands alone.  Under
+        # lazy regularizers, never publish the both-branch count (or a
+        # partial amortization) as if it were honest.
+        step_flops = None
+        if lazy:
+            flops_method = "unavailable"
+            flops_note = (
+                "cost analysis failed mid-amortization; step_flops/mfu "
+                "omitted (step_flops_counted, when present, counts both "
+                "cond branches every step)"
+            )
     tflops = (
         round(step_flops * timed_iters / dt / 1e12, 1) if step_flops else None
     )
@@ -178,7 +208,9 @@ def main(retried: bool = False) -> None:
                 "achieved_tflops": tflops,
                 "mfu": round(tflops / 197.0, 3) if tflops else None,
                 "step_flops": step_flops,
-                "flops_method": flops_method if step_flops else None,
+                "flops_method": (
+                    flops_method if (step_flops or flops_note) else None
+                ),
                 **({"flops_note": flops_note} if flops_note else {}),
                 **(
                     {"step_flops_counted": flops_counted}

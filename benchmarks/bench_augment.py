@@ -89,14 +89,14 @@ def main():
 
     def brightness_contrast_saturation(k, x):
         kb, kc, ks, kg1, kg2, kg3 = jax.random.split(k, 6)
-        b = jax.random.normal(kb, (N, 1, 1, 1)) * 0.2
+        b = jax.random.normal(kb, (N, 1, 1, 1)) * augment._BRIGHTNESS_STD
         b = jnp.where(augment._gate(kg1, N, 0.2)[:, None, None, None], b, 0.0)
         x = x + b.astype(x.dtype)
-        s = jnp.exp2(jax.random.normal(kc, (N, 1, 1, 1)) * 0.5)
+        s = jnp.exp2(jax.random.normal(kc, (N, 1, 1, 1)) * augment._CONTRAST_LOG2_STD)
         s = jnp.where(augment._gate(kg2, N, 0.2)[:, None, None, None], s, 1.0)
         mean = x.mean(axis=(1, 2, 3), keepdims=True)
         x = (x - mean) * s.astype(x.dtype) + mean
-        s = jnp.exp2(jax.random.normal(ks, (N, 1, 1, 1)) * 0.33)
+        s = jnp.exp2(jax.random.normal(ks, (N, 1, 1, 1)) * augment._SATURATION_LOG2_STD)
         s = jnp.where(augment._gate(kg3, N, 0.2)[:, None, None, None], s, 1.0)
         luma = x.mean(axis=3, keepdims=True)
         return (x - luma) * s.astype(x.dtype) + luma

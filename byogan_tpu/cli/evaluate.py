@@ -145,7 +145,12 @@ def main(argv=None):
         )
         out["msssim_diversity"] = {
             "fake": round(float(msssim_diversity(fake)), 4),
-            "real": round(float(msssim_diversity(real_anchor)), 4),
+            # Diversity needs >= 2 distinct images; a 1-image dataset has
+            # no real anchor (null, not a crash or a fake 1.0).
+            "real": (
+                round(float(msssim_diversity(real_anchor)), 4)
+                if len(real_anchor) >= 2 else None
+            ),
             "real_n": int(len(real_anchor)),
         }
     print(json.dumps(out))

@@ -429,7 +429,10 @@ def _train(
                         extras["rt_ema"] = metrics["rt_ema"]
                     if "pl_ema" in metrics:  # PLR running path-length mean
                         extras["pl_ema"] = metrics["pl_ema"]
-                    if "pl_penalty" in metrics:  # last penalized readout
+                    if "pl_penalty" in metrics:
+                        # 0.0 on non-penalized iterations (the plain cond
+                        # branch) — engagement checks should read pl_ema,
+                        # which persists between penalized steps.
                         extras["pl_penalty"] = metrics["pl_penalty"]
                     pending_log = (
                         total_iters, epoch, steps, batch,
@@ -604,7 +607,10 @@ def _log_swd_eval(
         idx_rng = np.random.default_rng(config.seed + 8191)
         idx = np.sort(idx_rng.choice(len(dataset), size=n, replace=False))
         u8 = dataset.get_batch_uint8(idx)
-        eval_cache[rkey] = jnp.asarray(uint8_to_training_range(u8))
+        # Upload the raw uint8 and convert ON DEVICE (uint8_to_training_range
+        # has a jnp branch) — 4x fewer tunnel bytes, same rule as the
+        # training batch lane (CLAUDE.md / pipeline.device_normalize).
+        eval_cache[rkey] = uint8_to_training_range(jnp.asarray(u8))
     real = eval_cache[rkey]
 
     skey = ("swd_synth", steps, fade, n)

@@ -98,7 +98,6 @@ def main() -> None:
             info["checkpoints"], paths["heldout"], n_images=128, seed=97
         )
         assert traj, f"{name}: no checkpoints scored"
-        stage4 = traj  # the stage filter already keeps only 32px saves
         assert all(
             t["heldout_swd"] > 0 and t["heldout_swd"] < 1e6 for t in traj
         ), f"{name}: non-finite held-out SWD"
@@ -108,7 +107,7 @@ def main() -> None:
         arm_stats[name] = {
             "final_aug_p": train_recs[-1].get("aug_p"),
             "final_rt_ema": train_recs[-1].get("rt_ema"),
-            "best_heldout_swd": min(t["heldout_swd"] for t in stage4),
+            "best_heldout_swd": min(t["heldout_swd"] for t in traj),
             "final_heldout_swd": traj[-1]["heldout_swd"],
             "final_msssim_fake": traj[-1]["msssim_fake"],
         }

@@ -136,7 +136,6 @@ def run_arm(
 ) -> dict:
     """Train one arm through the production ``train()`` (skipping it when a
     FINAL checkpoint already exists) and return its paths + summary."""
-    from byogan_tpu.train.checkpoint import load_checkpoint  # noqa: F401
     from byogan_tpu.train.config import TrainConfig
     from byogan_tpu.train.loop import train
 

@@ -214,11 +214,18 @@ def test_force_lazy_matches_cond_and_deflates_flops():
     )
 
     def assert_same(sa, sb):
+        # Tight allclose, not bitwise: the cond's out-of-line branch and
+        # the inlined forced-branch program are the same math, but XLA may
+        # fuse/contract differently across the cond boundary on future
+        # jaxlib versions; the contract is semantic equivalence.
         for a, b in zip(
             jax.tree.leaves(sa.gen_params) + jax.tree.leaves(sa.critic_params),
             jax.tree.leaves(sb.gen_params) + jax.tree.leaves(sb.critic_params),
         ):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-6, atol=1e-7,
+            )
 
     # iters=0 -> both conds take the penalized branch.
     assert_same(fn_cond(state, real)[0], fn_pen(state, real)[0])
